@@ -1,0 +1,102 @@
+"""spark-submit entry point.
+
+    spark-submit --py-files blink_spark.zip -m ... blink_spark/cli.py \
+        --input /path/files_table --output /path/out --stage all
+
+Stage selection mirrors the reference's early-exit modes
+(--only_recall / --only_embed_and_build,
+/root/reference/blink/biencoder/eval_cluster_linking.py:602-614);
+resume-from-checkpoint is the default (S4 analog).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from blink_spark.corpus import generate_files
+from blink_spark.eval import cluster_size_histogram, pairwise_metrics
+from blink_spark.functions import text
+from blink_spark.io.tables import StageStore
+from blink_spark.pipeline import ERConfig, ERPipeline
+from blink_spark.session import get_spark
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("blink_spark")
+    p.add_argument("--input", help="path of input files table (parquet/iceberg)")
+    p.add_argument("--input-format", default="parquet")
+    p.add_argument("--synthetic-entities", type=int, default=0,
+                   help="generate a synthetic corpus instead of --input")
+    p.add_argument("--hot-family", type=int, default=0)
+    p.add_argument("--output", required=True, help="stage-table root")
+    p.add_argument("--stage", default="all",
+                   choices=["all", "block", "score", "cluster"])
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--cores", default=None)
+    p.add_argument("--bands", type=int, default=32)
+    p.add_argument("--rows-per-band", type=int, default=4)
+    p.add_argument("--num-hashes", type=int, default=128)
+    p.add_argument("--shingle-k", type=int, default=5)
+    p.add_argument("--threshold", type=float, default=0.45)
+    p.add_argument("--top-k", type=int, default=20)
+    p.add_argument("--pair-budget", type=int, default=5_000_000)
+    p.add_argument("--cc-algorithm", default="alternating",
+                   choices=["alternating", "hashmin"])
+    p.add_argument("--eval-gold", action="store_true",
+                   help="synthetic corpus only: print pairwise P/R/F1")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = get_spark("blink_spark.cli", cores=args.cores)
+    cfg = ERConfig(
+        bands=args.bands,
+        rows_per_band=args.rows_per_band,
+        num_hashes=args.num_hashes,
+        shingle_k=args.shingle_k,
+        threshold=args.threshold,
+        top_k=args.top_k or None,
+        pair_budget=args.pair_budget,
+        cc_algorithm=args.cc_algorithm,
+    )
+    if args.synthetic_entities:
+        files = generate_files(
+            spark, n_entities=args.synthetic_entities, hot_family_size=args.hot_family
+        )
+    elif args.input:
+        files = spark.read.format(args.input_format).load(args.input)
+    else:
+        print("need --input or --synthetic-entities", file=sys.stderr)
+        return 2
+
+    store = StageStore(spark, args.output)
+    pipe = ERPipeline(cfg)
+    until = {"block": "block", "score": "score"}.get(args.stage)
+    res = pipe.run(files, store=store, resume=not args.no_resume, until=until)
+
+    out = {
+        "stages": res.timings,
+        "resumed": res.resumed,
+        "cc": res.metrics.get("cc", {}),
+    }
+    if args.stage in ("all", "cluster"):
+        hist = {
+            int(r["size"]): int(r["n_clusters"])
+            for r in cluster_size_histogram(res.tables["s3_clusters"]).collect()[:20]
+        }
+        out["cluster_size_histogram_head"] = hist
+        if args.eval_gold and args.synthetic_entities:
+            gold = files.select(
+                text.stable_file_id("repo", "path", "commit").alias("file_id"),
+                "entity_id",
+            )
+            out["pairwise"] = pairwise_metrics(res.tables["s3_clusters"], gold)
+    print(json.dumps(out, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

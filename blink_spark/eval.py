@@ -1,0 +1,135 @@
+"""Clustering evaluation — the reference's metric suite, join-native.
+
+The reference evaluates with linking accuracy / recall@k / NMI+ARI
+(/root/reference/blink/biencoder/eval_cluster_linking.py:151-237,
+488-541; eval_entity_discovery.py:96-139). Our primary gate is
+pairwise precision/recall/F1 (BASELINE.json: F1 >= 0.99 on labeled
+same-block pairs), computed two ways:
+
+  * combinatorially from (cluster, entity) co-occurrence counts — no
+    pair materialization, scales to any corpus;
+  * restricted to an explicit labeled-pair table (the north rule's
+    "labeled pairs sharing a blocking key").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _n_choose_2(col):
+    return (col * (col - 1) / 2).cast("double")
+
+
+def pairwise_metrics(clusters: DataFrame, gold: DataFrame, id_col: str = "file_id") -> dict:
+    """Pairwise P/R/F1 from co-occurrence counts (scalable: never
+    materializes pairs). clusters: (id, cluster_id); gold: (id, entity_id)."""
+    j = clusters.join(gold, id_col)
+    tp = (
+        j.groupBy("cluster_id", "entity_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.coalesce(F.sum(_n_choose_2(F.col("n"))), F.lit(0.0)))
+        .collect()[0][0]
+    )
+    pred = (
+        j.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.coalesce(F.sum(_n_choose_2(F.col("n"))), F.lit(0.0)))
+        .collect()[0][0]
+    )
+    gold_pairs = (
+        j.groupBy("entity_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.coalesce(F.sum(_n_choose_2(F.col("n"))), F.lit(0.0)))
+        .collect()[0][0]
+    )
+    precision = tp / pred if pred else 1.0
+    recall = tp / gold_pairs if gold_pairs else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "tp_pairs": tp,
+        "pred_pairs": pred,
+        "gold_pairs": gold_pairs,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+    }
+
+
+def labeled_pair_metrics(
+    pairs: DataFrame, clusters: DataFrame, gold: DataFrame, id_col: str = "file_id"
+) -> dict:
+    """P/R/F1 restricted to candidate pairs (id_a, id_b) — the north
+    rule's 'labeled pairs sharing a blocking key'. Mirrors the
+    reference's per-mention success/failure rows
+    (/root/reference/blink/biencoder/eval_cluster_linking.py:214-228)."""
+    ca = clusters.select(F.col(id_col).alias("id_a"), F.col("cluster_id").alias("c_a"))
+    cb = clusters.select(F.col(id_col).alias("id_b"), F.col("cluster_id").alias("c_b"))
+    ga = gold.select(F.col(id_col).alias("id_a"), F.col("entity_id").alias("e_a"))
+    gb = gold.select(F.col(id_col).alias("id_b"), F.col("entity_id").alias("e_b"))
+    lab = (
+        pairs.join(ca, "id_a").join(cb, "id_b").join(ga, "id_a").join(gb, "id_b")
+        .select(
+            (F.col("c_a") == F.col("c_b")).cast("int").alias("pred"),
+            (F.col("e_a") == F.col("e_b")).cast("int").alias("gold"),
+        )
+    )
+    agg = lab.agg(
+        F.sum(F.col("pred") * F.col("gold")).alias("tp"),
+        F.sum("pred").alias("pp"),
+        F.sum("gold").alias("gp"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    tp, pp, gp = (int(agg["tp"] or 0), int(agg["pp"] or 0), int(agg["gp"] or 0))
+    precision = tp / pp if pp else 1.0
+    recall = tp / gp if gp else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "n_labeled_pairs": int(agg["n"]),
+        "tp": tp,
+        "pred_pos": pp,
+        "gold_pos": gp,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+    }
+
+
+def blocking_recall(blocks: DataFrame, gold: DataFrame, id_col: str = "file_id") -> dict:
+    """Fraction of gold pairs sharing >= 1 block key — the analog of
+    the reference's retrieval recall@k
+    (/root/reference/blink/biencoder/eval_cluster_linking.py:529-541)."""
+    ga = gold.select(F.col(id_col).alias("id_a"), "entity_id")
+    gb = gold.select(F.col(id_col).alias("id_b"), "entity_id")
+    gold_pairs = (
+        ga.join(gb, "entity_id").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    )
+    ba = blocks.select("block_key", F.col(id_col).alias("id_a"))
+    bb = blocks.select("block_key", F.col(id_col).alias("id_b"))
+    covered = (
+        ba.join(bb, "block_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .join(gold_pairs, ["id_a", "id_b"], "left_semi")
+    )
+    n_gold = gold_pairs.count()
+    n_cov = covered.count()
+    return {
+        "gold_pairs": n_gold,
+        "covered": n_cov,
+        "recall": (n_cov / n_gold) if n_gold else 1.0,
+    }
+
+
+def cluster_size_histogram(clusters: DataFrame) -> DataFrame:
+    """Component-size distribution (reference's size>=2 filter + counts,
+    eval_cluster_linking.py:139-146)."""
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("size")
+    )

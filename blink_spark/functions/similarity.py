@@ -1,0 +1,188 @@
+"""Stage-2 pair-scoring kernels — the analog of the reference's
+cross-encoder pairwise rescoring (/root/reference/blink/crossencoder/
+crossencoder.py:210-220, batched scoring train_crossencoder_mst.py:64-89).
+
+Three kernels, per BASELINE.json north star:
+  * Jaro-Winkler on paths      (batched Arrow pandas UDF)
+  * token-set Jaccard          (native Column expr — JVM, codegen)
+  * hashed-TF cosine           (native expr for oracle parity + a
+                                Counter-based Arrow kernel for speed)
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------- Jaro-Winkler
+
+_JW_PREFIX_WEIGHT = 0.1
+_JW_BOOST_THRESHOLD = 0.7  # winkler boost applied only above this jaro score
+
+
+def jaro_py(s1: str, s2: str) -> float:
+    """Standard Jaro similarity (pure Python; also the UDF kernel)."""
+    if s1 == s2:
+        return 1.0
+    n1, n2 = len(s1), len(s2)
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    window = max(n1, n2) // 2 - 1
+    if window < 0:
+        window = 0
+    m1 = [False] * n1
+    m2 = [False] * n2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - window)
+        hi = min(n2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = True
+                m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(n1):
+        if m1[i]:
+            while not m2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                t += 1
+            j += 1
+    t //= 2
+    return (matches / n1 + matches / n2 + (matches - t) / matches) / 3.0
+
+
+def jaro_winkler_py(s1: str, s2: str) -> float:
+    """Jaro-Winkler with standard 0.1 prefix weight + 0.7 boost threshold
+    (matches DuckDB's jaro_winkler_similarity — verified in tests)."""
+    jaro = jaro_py(s1, s2)
+    if jaro > _JW_BOOST_THRESHOLD:
+        prefix = 0
+        for c1, c2 in zip(s1[:4], s2[:4]):
+            if c1 != c2:
+                break
+            prefix += 1
+        jaro += prefix * _JW_PREFIX_WEIGHT * (1.0 - jaro)
+    return jaro
+
+
+def jaro_winkler_udf():
+    """Arrow-batched pandas UDF: (string, string) -> double."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _jw(batches: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        cache: dict[tuple[str, str], float] = {}
+        for s1, s2 in batches:
+            out = []
+            for a, b in zip(s1, s2):
+                if a is None or b is None:
+                    out.append(0.0)
+                    continue
+                key = (a, b)
+                v = cache.get(key)
+                if v is None:
+                    v = jaro_winkler_py(a, b)
+                    if len(cache) < 1_000_000:
+                        cache[key] = v
+                out.append(v)
+            yield pd.Series(out, dtype="float64")
+
+    return _jw
+
+
+# ------------------------------------------------------------ token Jaccard
+
+
+def token_set_jaccard(a: Column, b: Column) -> Column:
+    """|A ∩ B| / |A ∪ B| over distinct-token arrays. JVM-native.
+
+    Both-empty => 1.0 (identical empties are a match).
+    """
+    da, db = F.array_distinct(a), F.array_distinct(b)
+    inter = F.size(F.array_intersect(da, db)).cast("double")
+    union = F.size(F.array_union(da, db)).cast("double")
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+# ---------------------------------------------------------------- TF cosine
+
+
+def tf_cosine_expr(a: Column, b: Column) -> Column:
+    """Term-frequency cosine over token arrays, pure Column expressions.
+
+    dot = Σ_{t ∈ A∩B} tf_a(t)·tf_b(t); norms likewise. O(|A∩B|·|a|)
+    — used for oracle-parity queries and small corpora; the Arrow
+    kernel below is the throughput path.
+    """
+    da, db = F.array_distinct(a), F.array_distinct(b)
+
+    def tf(arr: Column, t: Column) -> Column:
+        return F.size(F.filter(arr, lambda x: x == t)).cast("double")
+
+    dot = F.aggregate(
+        F.array_intersect(da, db),
+        F.lit(0.0),
+        lambda acc, t: acc + tf(a, t) * tf(b, t),
+    )
+    norm_a = F.sqrt(F.aggregate(da, F.lit(0.0), lambda acc, t: acc + tf(a, t) * tf(a, t)))
+    norm_b = F.sqrt(F.aggregate(db, F.lit(0.0), lambda acc, t: acc + tf(b, t) * tf(b, t)))
+    return F.when((norm_a == 0) | (norm_b == 0), F.lit(0.0)).otherwise(
+        dot / (norm_a * norm_b)
+    )
+
+
+def tf_cosine_py(a: list[str], b: list[str]) -> float:
+    """Pure-Python oracle + UDF kernel."""
+    from collections import Counter
+
+    ca, cb = Counter(a or []), Counter(b or [])
+    if not ca or not cb:
+        return 0.0
+    if len(ca) > len(cb):
+        ca, cb = cb, ca
+    dot = sum(v * cb[k] for k, v in ca.items() if k in cb)
+    na = sum(v * v for v in ca.values()) ** 0.5
+    nb = sum(v * v for v in cb.values()) ** 0.5
+    return dot / (na * nb) if na and nb else 0.0
+
+
+def tf_cosine_udf():
+    """Arrow-batched pandas UDF: (array<string>, array<string>) -> double."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _cos(batches: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for a, b in batches:
+            yield pd.Series(
+                [tf_cosine_py(list(x) if x is not None else [], list(y) if y is not None else [])
+                 for x, y in zip(a, b)],
+                dtype="float64",
+            )
+
+    return _cos
+
+
+# ------------------------------------------------------------ vector cosine
+
+
+def array_cosine(a: Column, b: Column) -> Column:
+    """Cosine over two array<float|double> columns, JVM-native
+    (F.zip_with product + F.aggregate sum — sequential order, so the
+    DuckDB list-based oracle reproduces it bit-for-bit after rounding)."""
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    na, nb = F.sqrt(dot(a, a)), F.sqrt(dot(b, b))
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot(a, b) / (na * nb))

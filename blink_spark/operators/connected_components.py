@@ -1,0 +1,185 @@
+"""Iterative connected components over an edge DataFrame — stage 3.
+
+The reference clusters its pruned k-NN graph with SciPy's
+connected_components on a driver-resident COO matrix
+(/root/reference/blink/biencoder/eval_cluster_linking.py:133-146).
+That is a single-node dead end at 10^12 rows, so this module is the
+"north-star" custom operator: two distributed formulations, both pure
+self-joins/aggregations with per-iteration checkpointing to cut
+lineage (the reference's pickle-every-stage memoization,
+eval_cluster_linking.py:411-415, becomes localCheckpoint/checkpoint).
+
+  * ``alternating`` — large-star / small-star (Kiveris et al., 2014,
+    "Connected Components in MapReduce and Beyond"): O(log n) rounds
+    on pathological chains; the 100-TB-safe default.
+  * ``hashmin`` — min-label propagation; O(diameter) rounds, cheapest
+    per-round; clone-family graphs are near-cliques so diameter ~ 2.
+
+Component label = min node id in the component (order-free, so results
+are identical at any parallelism — required by the scaling check).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CCStats:
+    algorithm: str = ""
+    iterations: int = 0
+    rounds: list[dict] = field(default_factory=list)
+
+
+def _checkpoint(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=True)
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    a, b = edges.columns[0], edges.columns[1]
+    fwd = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    rev = edges.select(F.col(b).alias("u"), F.col(a).alias("v"))
+    return fwd.unionByName(rev).where(F.col("u") != F.col("v"))
+
+
+def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each u: connect every strictly-larger neighbor to
+    min(N(u) ∪ {u}). Output edges oriented (big -> small)."""
+    nbr = _symmetrize(edges)
+    mins = (
+        nbr.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", F.col("u")).alias("m"))
+    )
+    return (
+        nbr.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient (big -> small); for each u connect all smaller neighbors
+    and u itself to the minimum neighbor."""
+    e = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    with_min = e.join(mins, "u")
+    link_nbrs = (
+        with_min.where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    link_self = mins.select(F.col("u"), F.col("m").alias("v"))
+    return link_nbrs.unionByName(link_self).where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    algorithm: str = "alternating",
+    max_iterations: int = 50,
+    stats: CCStats | None = None,
+) -> DataFrame:
+    """edges(id_a, id_b) -> (id, component) for every node incident to
+    an edge. Component id = min member id. Deterministic under any
+    partitioning/parallelism."""
+    if stats is None:
+        stats = CCStats()
+    stats.algorithm = algorithm
+    if algorithm == "alternating":
+        return _cc_alternating(edges, max_iterations, stats)
+    if algorithm == "hashmin":
+        return _cc_hashmin(edges, max_iterations, stats)
+    raise ValueError(f"unknown CC algorithm: {algorithm}")
+
+
+def _cc_alternating(edges: DataFrame, max_iterations: int, stats: CCStats) -> DataFrame:
+    cur = (
+        edges.select(
+            F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    cur = _checkpoint(cur)
+    prev_sig = _edge_checksum(cur)
+    for it in range(max_iterations):
+        cur = _checkpoint(_small_star(_large_star(cur)))
+        sig = _edge_checksum(cur)
+        stats.iterations = it + 1
+        stats.rounds.append({"iter": it + 1, "edges": sig[0]})
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged: star edges (node -> root); roots label themselves
+    members = cur.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = cur.select(F.col("v").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    return (
+        members.unionByName(roots)
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def _cc_hashmin(edges: DataFrame, max_iterations: int, stats: CCStats) -> DataFrame:
+    sym = _checkpoint(_symmetrize(edges).distinct())
+    labels = sym.select(F.col("u").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    labels = _checkpoint(labels)
+    prev_sum = None
+    for it in range(max_iterations):
+        nbr_min = (
+            sym.join(labels, sym["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        labels = _checkpoint(labels)
+        cur_sum = labels.agg(
+            F.coalesce(F.sum(F.col("label").cast("decimal(38,0)")), F.lit(0))
+        ).collect()[0][0]
+        stats.iterations = it + 1
+        stats.rounds.append({"iter": it + 1, "label_sum": str(cur_sum)})
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def assign_clusters(
+    all_ids: DataFrame, components: DataFrame, id_col: str = "file_id"
+) -> DataFrame:
+    """Every row gets a cluster: its component if it has edges, else
+    itself (singleton). Mirrors the reference's 'clusters of size >= 2
+    only' + implicit singletons
+    (/root/reference/blink/biencoder/eval_cluster_linking.py:139-146)."""
+    joined = all_ids.select(F.col(id_col)).join(
+        components.select(F.col("id").alias(id_col), "component"), id_col, "left"
+    )
+    return joined.select(
+        F.col(id_col), F.coalesce("component", F.col(id_col)).alias("cluster_id")
+    )

@@ -1,0 +1,76 @@
+"""Candidate-pair generation: the blocked self-join.
+
+The reference's mention×mention kNN search
+(/root/reference/blink/biencoder/eval_cluster_linking.py:494-525) is,
+relationally, a self-join restricted to a candidate set; here the
+candidate set is "shares a block key". Self-pair removal mirrors
+eval_cluster_linking.py:553-555; canonical a<b ordering + dedup
+mirrors the edge dedup in special_partition.pyx:363-382.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def candidate_pairs(blocks: DataFrame, id_col: str = "file_id") -> DataFrame:
+    """(block_key, id) -> distinct (id_a, id_b), id_a < id_b.
+
+    A block of n rows yields n·(n-1)/2 pairs; multi-band duplicates are
+    collapsed with a shuffle-dedup on the pair key (AQE handles skew).
+    """
+    a = blocks.select(F.col("block_key"), F.col(id_col).alias("id_a"))
+    b = blocks.select(F.col("block_key"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "block_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def attach_features(
+    pairs: DataFrame, feats: DataFrame, id_col: str, feat_cols: list[str]
+) -> DataFrame:
+    """Join each pair side to its feature row (two shuffle joins on id).
+
+    Mirrors the reference's id->record lookups
+    (/root/reference/blink/biencoder/eval_cluster_linking.py:192-219)
+    — broadcast when feats is small, shuffle-hash otherwise (left to
+    Catalyst/AQE).
+    """
+    fa = feats.select(
+        F.col(id_col).alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in feat_cols]
+    )
+    fb = feats.select(
+        F.col(id_col).alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in feat_cols]
+    )
+    return pairs.join(fa, "id_a").join(fb, "id_b")
+
+
+def top_k_per_node(
+    edges: DataFrame, k: int, score_col: str = "score"
+) -> DataFrame:
+    """Keep each node's k best edges (union of both endpoints' views).
+
+    The reference's per-query top-k
+    (/root/reference/blink/crossencoder/eval_cluster_linking.py:501-521)
+    as a window: rank edges per node, keep rank<=k, then re-dedup.
+    Tie-break on (score desc, partner id asc) for determinism across
+    partitionings.
+    """
+    fwd = edges.select(F.col("id_a").alias("qid"), F.col("id_b").alias("nid"), score_col)
+    rev = edges.select(F.col("id_b").alias("qid"), F.col("id_a").alias("nid"), score_col)
+    both = fwd.unionByName(rev)
+    w = W.partitionBy("qid").orderBy(F.desc(score_col), F.asc("nid"))
+    kept = both.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+    return (
+        kept.select(
+            F.least("qid", "nid").alias("id_a"),
+            F.greatest("qid", "nid").alias("id_b"),
+            F.col(score_col),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
