@@ -26,11 +26,11 @@ _JW_BOOST_THRESHOLD = 0.7  # winkler boost applied only above this jaro score
 
 def jaro_py(s1: str, s2: str) -> float:
     """Standard Jaro similarity (pure Python; also the UDF kernel)."""
-    if s1 == s2:
-        return 1.0
     n1, n2 = len(s1), len(s2)
     if n1 == 0 or n2 == 0:
-        return 0.0
+        return 0.0  # DuckDB convention: empty vs anything (incl. empty) -> 0
+    if s1 == s2:
+        return 1.0
     window = max(n1, n2) // 2 - 1
     if window < 0:
         window = 0

@@ -35,7 +35,11 @@ def shingles(tokens_col: Column, k: int = 5) -> Column:
         F.sequence(F.lit(0), n - k),
         lambda i: F.array_join(F.slice(tokens_col, i + 1, k), " "),
     )
-    return F.when(n <= k, F.array(F.array_join(tokens_col, " "))).otherwise(kgrams)
+    return (
+        F.when(n == 0, F.array().cast("array<string>"))
+        .when(n <= k, F.array(F.array_join(tokens_col, " ")))
+        .otherwise(kgrams)
+    )
 
 
 def content_sha256(col: Column | str) -> Column:
