@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship ER pipeline end-to-end on sf0.001.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 plus the training-data curation suite (dedup / ANN /
+text analysis / multimodal); ``oracle_sql()`` carries the DuckDB twin
+for every SQL-expressible one. Column names and float rounding match
+on both sides so the driver's order-insensitive value-hash agrees.
+
+Non-SQL-expressible entries (iterative CC internals aside — the CC
+*result* is oracled via a chain graph; xxhash64 MinHash-LSH; IVF/LSH
+ANN; mapInPandas feature extraction) intentionally omit the oracle:
+the driver records the weaker rows-only check for those.
 """
 
 from __future__ import annotations
@@ -12,27 +18,850 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
+from blink_spark.functions import text as btext
+from blink_spark.functions import textstats as ts
+from blink_spark.functions import simhash as sh
+from blink_spark.functions.minhash import (
+    parity_band_key_expr,
+    parity_band_key_sql,
+    parity_minhash_expr,
+    parity_minhash_sql,
+)
+from blink_spark.functions.similarity import (
+    jaro_winkler_udf,
+    tf_cosine_expr,
+    token_set_jaccard,
+)
+from blink_spark.operators import ann, dedup, multimodal
+from blink_spark.operators.connected_components import assign_clusters, connected_components
+from blink_spark.pipeline import ERConfig, ERPipeline
+
+# DuckDB-side token/shingle builders over the documents view
+_TOKS = ts.tokens_sql("text")
+_N_PARITY_HASHES = 16
+_PARITY_BANDS, _PARITY_ROWS = 4, 4
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =================================================================== entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full blocking -> pair-scoring -> CC pipeline over the
+    sf0.001 documents table mapped onto the (repo, path, commit, lang,
+    content) input shape; returns (file_id, cluster_id, sha256)."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    files = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.substring(F.sha2(F.col("text"), 256), 1, 12).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    pipe = ERPipeline(ERConfig(bands=16, rows_per_band=4, num_hashes=64, shingle_k=3))
+    res = pipe.run(files)
+    s0 = res.tables["s0_normalized"].select("file_id", "sha256")
+    return res.tables["s3_clusters"].join(s0, "file_id")
 
+
+# ================================================================= ER core
+
+def _er_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = ts.token_stats("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        btext.content_sha256("text").alias("sha256"),
+        ts.norm_sha256("text").alias("norm_sha256"),
+        stats["n_word_tokens"].alias("n_word_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+    )
+
+
+_ER_NORMALIZE_SQL = f"""
+SELECT doc_id,
+       sha256(text) AS sha256,
+       {ts.norm_sha256_sql('text')} AS norm_sha256,
+       {ts.token_stats_sql('text')['n_word_tokens']} AS n_word_tokens,
+       length(text)::BIGINT AS n_chars_measured
+FROM documents
+"""
+
+
+def _er_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+_ER_EXACT_DUP_SQL = f"""
+WITH k AS (
+  SELECT doc_id, {ts.norm_sha256_sql('text')} AS norm_sha FROM documents
+), g AS (
+  SELECT norm_sha, min(doc_id) AS dup_group, count(*)::BIGINT AS group_size
+  FROM k GROUP BY norm_sha
+)
+SELECT k.doc_id, g.dup_group, g.group_size FROM k JOIN g USING (norm_sha)
+"""
+
+
+def _er_chain_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed connected components on per-lang doc-id chains —
+    worst-case-diameter graphs; the oracle knows each lang collapses
+    to one component labeled by its min doc_id."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    nxt = F.lead("doc_id").over(W.partitionBy("lang").orderBy("doc_id"))
+    edges = (
+        docs.select(F.col("doc_id").alias("id_a"), nxt.alias("id_b"))
+        .where(F.col("id_b").isNotNull())
+    )
+    comp = connected_components(edges, algorithm="alternating")
+    return assign_clusters(docs.select("doc_id"), comp, "doc_id")
+
+
+_ER_CHAIN_CC_SQL = """
+SELECT doc_id, min(doc_id) OVER (PARTITION BY lang) AS cluster_id
+FROM documents
+"""
+
+
+def _er_parity_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = parity_minhash_expr("tokens", _N_PARITY_HASHES)
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", btext.tokenize("text").alias("tokens"))
+        .select("doc_id", F.expr(f"concat_ws('-', {sig})").alias("sig_str"))
+    )
+
+
+_ER_PARITY_MINHASH_SQL = f"""
+SELECT doc_id,
+       array_to_string({parity_minhash_sql(_TOKS, _N_PARITY_HASHES)}, '-') AS sig_str
+FROM documents
+"""
+
+
+def _er_lsh_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs sharing >=1 MinHash band within lang — the LSH
+    banding step itself, oracle-checked end-to-end."""
+    sig = parity_minhash_expr("tokens", _N_PARITY_HASHES)
+    s = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", btext.tokenize("text").alias("tokens"))
+        .select("doc_id", "lang", F.expr(sig).alias("sig"))
+    )
+    keyed = None
+    for b in range(_PARITY_BANDS):
+        kb = s.select(
+            "lang",
+            F.lit(b).alias("band"),
+            F.expr(parity_band_key_expr("sig", b, _PARITY_ROWS)).alias("bkey"),
+            "doc_id",
+        )
+        keyed = kb if keyed is None else keyed.unionByName(kb)
+    a = keyed.select("lang", "band", "bkey", F.col("doc_id").alias("id_a"))
+    b_ = keyed.select("lang", "band", "bkey", F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b_, ["lang", "band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _er_lsh_band_pairs_sql() -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT lang, {b} AS band, "
+        f"{parity_band_key_sql('sig', b, _PARITY_ROWS)} AS bkey, doc_id FROM s"
+        for b in range(_PARITY_BANDS)
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang, {parity_minhash_sql(_TOKS, _N_PARITY_HASHES)} AS sig
+  FROM documents
+), k AS ({band_selects})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM k a JOIN k b ON a.lang = b.lang AND a.band = b.band AND a.bkey = b.bkey
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-2 rerank analog: all pairs within a (lang, source) block
+    scored with the three kernels + blend."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source",
+        F.substring("text", 1, 40).alias("head"),
+        btext.tokenize("text").alias("tokens"),
+    )
+    a = docs.select(
+        "lang", "source", F.col("doc_id").alias("id_a"),
+        F.col("head").alias("head_a"), F.col("tokens").alias("toks_a"),
+    )
+    b = docs.select(
+        "lang", "source", F.col("doc_id").alias("id_b"),
+        F.col("head").alias("head_b"), F.col("tokens").alias("toks_b"),
+    )
+    jw = F.round(jaro_winkler_udf()(F.col("head_a"), F.col("head_b")), 6)
+    jac = F.round(token_set_jaccard(F.col("toks_a"), F.col("toks_b")), 6)
+    cos = F.round(tf_cosine_expr(F.col("toks_a"), F.col("toks_b")), 6)
+    return (
+        a.join(b, ["lang", "source"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            jw.alias("jw"), jac.alias("jaccard"), cos.alias("cosine"),
+        )
+        .withColumn(
+            "score",
+            F.round(
+                F.lit(0.2) * F.col("jw")
+                + F.lit(0.4) * F.col("jaccard")
+                + F.lit(0.4) * F.col("cosine"),
+                6,
+            ),
+        )
+    )
+
+
+def _tf_cosine_sql(ta: str, tb: str) -> str:
+    def tf(arr: str) -> str:
+        return f"len(list_filter({arr}, x -> x = t))::DOUBLE"
+
+    dot = (
+        f"coalesce(list_sum(list_transform("
+        f"list_intersect(list_distinct({ta}), list_distinct({tb})), "
+        f"t -> {tf(ta)} * {tf(tb)})), 0.0)"
+    )
+    na = (
+        f"sqrt(coalesce(list_sum(list_transform(list_distinct({ta}), "
+        f"t -> pow({tf(ta)}, 2))), 0.0))"
+    )
+    nb = (
+        f"sqrt(coalesce(list_sum(list_transform(list_distinct({tb}), "
+        f"t -> pow({tf(tb)}, 2))), 0.0))"
+    )
+    return (
+        f"CASE WHEN {na} = 0 OR {nb} = 0 THEN 0.0 "
+        f"ELSE {dot} / ({na} * {nb}) END"
+    )
+
+
+def _jaccard_sql(ta: str, tb: str) -> str:
+    return (
+        f"CASE WHEN len(list_distinct(list_concat({ta}, {tb}))) = 0 THEN 1.0 "
+        f"ELSE len(list_intersect({ta}, {tb}))::DOUBLE "
+        f"/ len(list_distinct(list_concat({ta}, {tb}))) END"
+    )
+
+
+_SCORED_PAIRS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, source, substr(text, 1, 40) AS head, {_TOKS} AS toks
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(jaro_winkler_similarity(a.head, b.head), 6) AS jw,
+         round({_jaccard_sql('a.toks', 'b.toks')}, 6) AS jaccard,
+         round({_tf_cosine_sql('a.toks', 'b.toks')}, 6) AS cosine
+  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jw, jaccard, cosine,
+       round(0.2 * jw + 0.4 * jaccard + 0.4 * cosine, 6) AS score
+FROM p
+"""
+
+
+def _er_topk_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node top-3 edges over the scored pair graph (T1/T2 window)."""
+    edges = _scored_pairs(spark, sf_dir).select("id_a", "id_b", "score")
+    fwd = edges.select(F.col("id_a").alias("qid"), F.col("id_b").alias("nid"), "score")
+    rev = edges.select(F.col("id_b").alias("qid"), F.col("id_a").alias("nid"), "score")
+    both = fwd.unionByName(rev)
+    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("nid"))
+    kept = both.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+    return (
+        kept.select(
+            F.least("qid", "nid").alias("id_a"),
+            F.greatest("qid", "nid").alias("id_b"),
+            "score",
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+_ER_TOPK_EDGES_SQL = f"""
+WITH p AS ({_SCORED_PAIRS_SQL}),
+bidir AS (
+  SELECT id_a AS qid, id_b AS nid, score FROM p
+  UNION ALL
+  SELECT id_b AS qid, id_a AS nid, score FROM p
+), ranked AS (
+  SELECT qid, nid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rk
+  FROM bidir
+)
+SELECT DISTINCT least(qid, nid) AS id_a, greatest(qid, nid) AS id_b, score
+FROM ranked WHERE rk <= 3
+"""
+
+
+# ============================================================== dedup suite
+
+def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_k=1, threshold=0.5
+    )
+
+
+_DEDUP_NGRAM_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, list_distinct({_TOKS}) AS sh FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round({_jaccard_sql('a.sh', 'b.sh')}, 6) AS jaccard
+FROM d a JOIN d b ON a.lang = b.lang
+WHERE a.doc_id < b.doc_id
+  AND round({_jaccard_sql('a.sh', 'b.sh')}, 6) >= 0.5
+"""
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashes = sh.token_hash60_expr("tokens")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", btext.tokenize("text").alias("tokens"))
+        .select("doc_id", "lang", F.expr(hashes).alias("hashes"))
+        .select("doc_id", "lang", sh.simhash_expr("hashes").alias("simhash"))
+    )
+
+
+def _dedup_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_df(spark, sf_dir).select("doc_id", "simhash")
+
+
+_SIMHASH_INNER_SQL = sh.simhash_sql(sh.token_hash60_sql(_TOKS))
+_DEDUP_SIMHASH_FP_SQL = f"SELECT doc_id, {_SIMHASH_INNER_SQL} AS simhash FROM documents"
+
+
+def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Hamming<=3 pairs (exact by pigeonhole) vs the oracle's
+    brute-force self-join — proves the banded plan loses nothing."""
+    return sh.simhash_near_dup_pairs(
+        _simhash_df(spark, sf_dir), id_col="doc_id", radius=3, group_cols=("lang",)
+    )
+
+
+_DEDUP_SIMHASH_PAIRS_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang, {_SIMHASH_INNER_SQL} AS simhash FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming_dist
+FROM s a JOIN s b ON a.lang = b.lang
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+_DEDUP_EMBEDDING_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(
+         CASE WHEN sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) = 0
+               OR sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) = 0
+              THEN 0.0
+              ELSE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+         END, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(
+         CASE WHEN sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) = 0
+               OR sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) = 0
+              THEN 0.0
+              ELSE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+         END, 6) >= 0.3
+"""
+
+
+def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production xxhash64 MinHash-LSH near-dup path (rows-only check:
+    xxhash64 has no DuckDB twin; parity of the banding algorithm is
+    oracled separately via er_lsh_band_pairs)."""
+    return dedup.minhash_lsh_dup_pairs(
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.5, shingle_k=1
+    )
+
+
+# ====================================================================== ANN
+
+def _ann_queries(df: DataFrame) -> DataFrame:
+    return df.where(F.col("vec_id") % 20 == 0)
+
+
+def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.cosine_topk(emb, _ann_queries(emb), k=5)
+
+
+_ANN_COSINE_SQL = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(
+           CASE WHEN sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) = 0
+                 OR sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) = 0
+                THEN 0.0
+                ELSE list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+           END, 6) AS cosine
+  FROM q CROSS JOIN embeddings c
+  WHERE q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.ivf_topk(emb, _ann_queries(emb), k=5, n_cells=16, nprobe=4)
+
+
+def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.lsh_topk(emb, _ann_queries(emb), k=5, n_planes=8, n_tables=6, dim=64)
+
+
+# ============================================================ text analysis
+
+def _text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = ts.token_stats("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", *[stats[k].alias(k) for k in sorted(stats)]
+    )
+
+
+_TEXT_TOKEN_STATS_SQL = (
+    "SELECT doc_id, "
+    + ", ".join(
+        f"{ts.token_stats_sql('text')[k]} AS {k}"
+        for k in sorted(ts.token_stats_sql("text"))
+    )
+    + " FROM documents"
+)
+
+
+def _text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ratios = ts.lang_ratios("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        ts.lang_guess("text").alias("lang_guess"),
+        *[F.round(ratios[lang], 6).alias(f"ratio_{lang}") for lang in sorted(ratios)],
+    )
+
+
+_TEXT_LANGID_SQL = (
+    "SELECT doc_id, lang, "
+    + ts.lang_guess_sql("text")
+    + " AS lang_guess, "
+    + ", ".join(
+        f"round({ts._lang_ratio_sql('text', lang)}, 6) AS ratio_{lang}"
+        for lang in sorted(ts.STOPWORDS)
+    )
+    + " FROM documents"
+)
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = ts.quality_components("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        q["n_chars"].alias("n_chars_m"),
+        F.round(q["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(q["mean_token_len"], 6).alias("mean_token_len"),
+        F.round(q["stopword_ratio"], 6).alias("stopword_ratio"),
+        ts.quality_score("text").alias("quality"),
+    )
+
+
+_TEXT_QUALITY_SQL = f"""
+SELECT doc_id,
+       {ts.quality_components_sql('text')['n_chars']} AS n_chars_m,
+       round({ts.quality_components_sql('text')['punct_ratio']}, 6) AS punct_ratio,
+       round({ts.quality_components_sql('text')['mean_token_len']}, 6) AS mean_token_len,
+       round({ts.quality_components_sql('text')['stopword_ratio']}, 6) AS stopword_ratio,
+       {ts.quality_score_sql('text')} AS quality
+FROM documents
+"""
+
+
+def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ts.norm_sha256("text").alias("norm_sha256"),
+        ts.min_shingle_fingerprint("text", 5).alias("min_shingle_md5"),
+    )
+
+
+_TEXT_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       {ts.norm_sha256_sql('text')} AS norm_sha256,
+       {ts.min_shingle_fingerprint_sql('text', 5)} AS min_shingle_md5
+FROM documents
+"""
+
+
+# =============================================================== multimodal
+
+def _mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = multimodal.assets_from_documents(_t(spark, sf_dir, "documents"))
+    return multimodal.asset_metadata(assets)
+
+
+_MM_METADATA_SQL = """
+SELECT doc_id AS asset_id, 'text/blob' AS kind,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS payload_sha256
+FROM documents
+"""
+
+
+def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = multimodal.assets_from_documents(_t(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(assets, every_n_bytes=64)
+
+
+_MM_FRAMES_SQL = """
+SELECT doc_id AS asset_id,
+       j::INTEGER AS frame_no,
+       (j * 64)::BIGINT AS byte_offset,
+       octet_length(encode(text))::INTEGER AS n_bytes
+FROM documents,
+     unnest(generate_series(0,
+        greatest(ceil(octet_length(encode(text)) / 64.0)::INTEGER, 1) - 1)) AS t(j)
+"""
+
+
+def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = multimodal.assets_from_documents(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(assets).select(
+        "asset_id", "kind", "n_bytes", "sha256"
+    )
+
+
+# =============================================== relational operator suite
+
+def _rel_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F9-style scan + filter + computed projection (predicate
+    pushdown + column pruning visible in .explain)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .where((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.02))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+_REL_SCAN_SQL = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 4) AS revenue
+FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02
+"""
+
+
+def _rel_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped group-aggregate (A2/A6 analog)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_REL_AGG_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*)::BIGINT AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _rel_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join through two broadcast dims (J3) + group-agg."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+_REL_JOIN_DIMS_SQL = """
+SELECT r_name, count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def _rel_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (T1 window top-k)."""
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+_REL_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank::BIGINT AS rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def _rel_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no big-ticket order (J4 anti-join / F7 exclusion)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 480000)
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_REL_SEMI_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 480000)
+"""
+
+
+def _rel_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1-U4: purchasers who never hit a big error (distinct EXCEPT)."""
+    ev = _t(spark, sf_dir, "events")
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    errs = (
+        ev.where((F.col("event_type") == "error") & (F.col("value") > 300))
+        .select("user_id")
+        .distinct()
+    )
+    return buyers.exceptAll(errs).select("user_id")
+
+
+_REL_UNION_EXCEPT_SQL = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 300
+"""
+
+
+def _rel_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 min-max scaling per group + X6 sigmoid squash."""
+    w = W.partitionBy("event_type")
+    val, mn, mx = F.col("value"), F.min("value").over(w), F.max("value").over(w)
+    scaled = F.when(mx == mn, F.lit(0.0)).otherwise((val - mn) / (mx - mn))
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(scaled, 6).alias("scaled"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-val)), 6).alias("sigmoid_value"),
+    )
+
+
+_REL_MINMAX_SQL = """
+SELECT event_id, event_type,
+       round(CASE WHEN max(value) OVER (PARTITION BY event_type)
+                       = min(value) OVER (PARTITION BY event_type) THEN 0.0
+                  ELSE (value - min(value) OVER (PARTITION BY event_type))
+                       / (max(value) OVER (PARTITION BY event_type)
+                          - min(value) OVER (PARTITION BY event_type)) END, 6) AS scaled,
+       round(1.0 / (1.0 + exp(-value)), 6) AS sigmoid_value
+FROM events
+"""
+
+
+def _rel_quantile_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 threshold-selection analog: exact p90 of value per type."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"))
+    )
+
+
+_REL_QUANTILE_SQL = """
+SELECT event_type, round(quantile_cont(value, 0.9), 4) AS p90
+FROM events GROUP BY event_type
+"""
+
+
+def _rel_gold_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 rank-of-gold analog: price-rank of each order's first line."""
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("price_rank", F.row_number().over(w))
+        .where(F.col("l_linenumber") == 1)
+        .select("l_orderkey", F.col("price_rank").cast("long").alias("gold_rank"))
+    )
+
+
+_REL_GOLD_RANK_SQL = """
+SELECT l_orderkey, price_rank::BIGINT AS gold_rank FROM (
+  SELECT l_orderkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber ASC)
+           AS price_rank
+  FROM lineitem
+) WHERE l_linenumber = 1
+"""
+
+
+def _rel_cluster_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 component-size histogram over (lang, source) groups."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+    )
+
+
+_REL_CLUSTER_HIST_SQL = """
+SELECT size, count(*)::BIGINT AS n_groups FROM (
+  SELECT lang, source, count(*)::BIGINT AS size
+  FROM documents GROUP BY lang, source
+) GROUP BY size
+"""
+
+
+# ================================================================ contract
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # ER pipeline (SURVEY §2.2-2.9)
+        "er_normalize": _er_normalize,
+        "er_exact_dup_groups": _er_exact_dup_groups,
+        "er_chain_cc": _er_chain_cc,
+        "er_parity_minhash": _er_parity_minhash,
+        "er_lsh_band_pairs": _er_lsh_band_pairs,
+        "er_pair_scores": _scored_pairs,
+        "er_topk_edges": _er_topk_edges,
+        # dedup suite
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_simhash_fingerprints": _dedup_simhash_fp,
+        "dedup_simhash_pairs": _dedup_simhash_pairs,
+        "dedup_embedding_cosine": _dedup_embedding,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        # similarity search
+        "ann_cosine_topk": _ann_cosine_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
+        # text analysis
+        "text_token_stats": _text_token_stats,
+        "text_langid": _text_langid,
+        "text_quality": _text_quality,
+        "text_fingerprint": _text_fingerprint,
+        # multimodal
+        "mm_asset_metadata": _mm_metadata,
+        "mm_frame_sample": _mm_frames,
+        "mm_byte_features": _mm_features,
+        # relational operator suite (SURVEY §2.2, 2.5-2.8, 2.10)
+        "rel_scan_filter_project": _rel_scan_filter_project,
+        "rel_agg_q1": _rel_agg_q1,
+        "rel_join_dims": _rel_join_dims,
+        "rel_topk_window": _rel_topk_window,
+        "rel_semi_anti": _rel_semi_anti,
+        "rel_union_except": _rel_union_except,
+        "rel_minmax_scale": _rel_minmax_scale,
+        "rel_quantile_threshold": _rel_quantile_threshold,
+        "rel_gold_rank": _rel_gold_rank,
+        "rel_cluster_hist": _rel_cluster_hist,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "er_normalize": _ER_NORMALIZE_SQL,
+        "er_exact_dup_groups": _ER_EXACT_DUP_SQL,
+        "er_chain_cc": _ER_CHAIN_CC_SQL,
+        "er_parity_minhash": _ER_PARITY_MINHASH_SQL,
+        "er_lsh_band_pairs": _er_lsh_band_pairs_sql(),
+        "er_pair_scores": _SCORED_PAIRS_SQL,
+        "er_topk_edges": _ER_TOPK_EDGES_SQL,
+        "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
+        "dedup_simhash_fingerprints": _DEDUP_SIMHASH_FP_SQL,
+        "dedup_simhash_pairs": _DEDUP_SIMHASH_PAIRS_SQL,
+        "dedup_embedding_cosine": _DEDUP_EMBEDDING_SQL,
+        # dedup_minhash_lsh: xxhash64 — rows-only
+        "ann_cosine_topk": _ANN_COSINE_SQL,
+        # ann_ivf_topk / ann_lsh_topk: approximate — rows-only
+        "text_token_stats": _TEXT_TOKEN_STATS_SQL,
+        "text_langid": _TEXT_LANGID_SQL,
+        "text_quality": _TEXT_QUALITY_SQL,
+        "text_fingerprint": _TEXT_FINGERPRINT_SQL,
+        "mm_asset_metadata": _MM_METADATA_SQL,
+        "mm_frame_sample": _MM_FRAMES_SQL,
+        # mm_byte_features: mapInPandas — rows-only
+        "rel_scan_filter_project": _REL_SCAN_SQL,
+        "rel_agg_q1": _REL_AGG_Q1_SQL,
+        "rel_join_dims": _REL_JOIN_DIMS_SQL,
+        "rel_topk_window": _REL_TOPK_SQL,
+        "rel_semi_anti": _REL_SEMI_ANTI_SQL,
+        "rel_union_except": _REL_UNION_EXCEPT_SQL,
+        "rel_minmax_scale": _REL_MINMAX_SQL,
+        "rel_quantile_threshold": _REL_QUANTILE_SQL,
+        "rel_gold_rank": _REL_GOLD_RANK_SQL,
+        "rel_cluster_hist": _REL_CLUSTER_HIST_SQL,
+    }

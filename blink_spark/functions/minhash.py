@@ -89,6 +89,72 @@ def minhash_signature_udf(num_hashes: int = 128, seed: int = 42):
     return _sig
 
 
+# ------------------------------------------------ SQL-parity variant
+#
+# The production signature above uses xxhash64 (JVM-only). For the
+# driver's DuckDB oracle we also provide a second, fully SQL-portable
+# construction: token hash = first 60 bits of md5, permutations
+# h -> (a_i*h + b_i) mod p over the prime field p = 2^31-1, with
+# (a_i, b_i) themselves derived from md5 so BOTH engines can compute
+# them inline. Same algorithm, portable primitives — the oracle then
+# checks the whole MinHash+banding pipeline end-to-end.
+
+PARITY_P = 2**31 - 1  # Mersenne prime; a*h < 2^62 fits BIGINT
+
+
+def parity_perm_param(kind: str, i: int) -> int:
+    """Deterministic 28-bit perm parameter from md5 — computable in
+    DuckDB as ('0x' || substr(md5('<kind><i>'), 1, 7))::BIGINT."""
+    import hashlib
+
+    v = int(hashlib.md5(f"{kind}{i}".encode()).hexdigest()[:7], 16)
+    return (v % (PARITY_P - 1)) + 1 if kind == "a" else v % PARITY_P
+
+
+def parity_minhash_expr(tokens_sql_expr: str, num_hashes: int = 16) -> str:
+    """Spark-SQL expr: array<string> tokens -> array<bigint> signature."""
+    hashes = (
+        f"transform(array_distinct({tokens_sql_expr}), "
+        f"t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint) % {PARITY_P})"
+    )
+    slots = ", ".join(
+        f"aggregate({hashes}, cast({PARITY_P} AS bigint), "
+        f"(acc, h) -> least(acc, ({parity_perm_param('a', i)}L * h "
+        f"+ {parity_perm_param('b', i)}L) % {PARITY_P}))"
+        for i in range(num_hashes)
+    )
+    return f"array({slots})"
+
+
+def parity_minhash_sql(tokens_sql_expr: str, num_hashes: int = 16) -> str:
+    """DuckDB twin of parity_minhash_expr."""
+    hashes = (
+        f"list_transform(list_distinct({tokens_sql_expr}), "
+        f"t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {PARITY_P})"
+    )
+    slots = ", ".join(
+        f"coalesce(list_min(list_transform({hashes}, "
+        f"h -> ({parity_perm_param('a', i)} * h "
+        f"+ {parity_perm_param('b', i)}) % {PARITY_P})), {PARITY_P})"
+        for i in range(num_hashes)
+    )
+    return f"[{slots}]"
+
+
+def parity_band_key_expr(sig_expr: str, band: int, rows: int) -> str:
+    """Spark-SQL band key: the band's signature slice as a string."""
+    return (
+        f"concat_ws('-', slice({sig_expr}, {band * rows + 1}, {rows}))"
+    )
+
+
+def parity_band_key_sql(sig_expr: str, band: int, rows: int) -> str:
+    return (
+        f"array_to_string(list_slice({sig_expr}, "
+        f"{band * rows + 1}, {band * rows + rows}), '-')"
+    )
+
+
 def band_keys(sig_col: Column, bands: int, rows: int) -> Column:
     """array<bigint> of LSH band hashes (len == bands), JVM-side.
 
