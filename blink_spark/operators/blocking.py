@@ -83,6 +83,34 @@ def salt_hot_blocks(
     )
 
 
+def salt_hot_blocks_numeric(
+    blocks: DataFrame,
+    id_col: str = "file_id",
+    pair_budget: int = 5_000_000,
+    max_salts: int = 1024,
+) -> DataFrame:
+    """salt_hot_blocks for NUMERIC (long) block keys: the salted key is
+    xxhash64(block_key, salt); unsalted blocks keep their key. Numeric
+    keys keep the block shuffle at 8 bytes/row and avoid JVM string
+    building on the hot path (the pipeline's stage-1 path)."""
+    rows_budget = max(2, int((2 * pair_budget) ** 0.5))
+    sizes = blocks.groupBy("block_key").agg(F.count(F.lit(1)).alias("n"))
+    nsalts = F.least(
+        F.greatest(F.ceil(F.col("n") / rows_budget).cast("int"), F.lit(1)),
+        F.lit(max_salts),
+    )
+    sized = blocks.join(
+        F.broadcast(sizes.where(F.col("n") > rows_budget).withColumn("nsalts", nsalts)),
+        "block_key",
+        "left",
+    )
+    salt = F.pmod(F.xxhash64(F.col(id_col), F.col("block_key")), F.col("nsalts"))
+    salted_key = F.when(F.col("nsalts").isNull(), F.col("block_key")).otherwise(
+        F.xxhash64(F.col("block_key"), salt)
+    )
+    return sized.select(salted_key.alias("block_key"), F.col(id_col))
+
+
 def block_stats(blocks: DataFrame) -> DataFrame:
     """Per-block size + implied pair count (skew telemetry)."""
     return (

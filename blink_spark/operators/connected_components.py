@@ -34,8 +34,24 @@ class CCStats:
     rounds: list[dict] = field(default_factory=list)
 
 
-def _checkpoint(df: DataFrame) -> DataFrame:
+def _local_checkpoint(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
+
+
+def make_parquet_checkpointer(scratch_dir: str):
+    """Per-iteration checkpointer backed by scratch parquet. Preferred
+    over localCheckpoint: measured on this host, the local block store
+    burns ~100x CPU per row for these tables, and on a real cluster a
+    durable per-iteration table is what lets a killed CC loop resume."""
+    counter = {"n": 0}
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        counter["n"] += 1
+        path = f"{scratch_dir}/cc_iter_{counter['n']}"
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
+    return ckpt
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -92,6 +108,7 @@ def connected_components(
     algorithm: str = "alternating",
     max_iterations: int = 50,
     stats: CCStats | None = None,
+    checkpoint_fn=None,
 ) -> DataFrame:
     """edges(id_a, id_b) -> (id, component) for every node incident to
     an edge. Component id = min member id. Deterministic under any
@@ -99,14 +116,24 @@ def connected_components(
     if stats is None:
         stats = CCStats()
     stats.algorithm = algorithm
+    ckpt = checkpoint_fn or _local_checkpoint
     if algorithm == "alternating":
-        return _cc_alternating(edges, max_iterations, stats)
+        return _cc_alternating(edges, max_iterations, stats, ckpt)
     if algorithm == "hashmin":
-        return _cc_hashmin(edges, max_iterations, stats)
+        return _cc_hashmin(edges, max_iterations, stats, ckpt)
     raise ValueError(f"unknown CC algorithm: {algorithm}")
 
 
-def _cc_alternating(edges: DataFrame, max_iterations: int, stats: CCStats) -> DataFrame:
+def _size_partitions(n_edges: int, spark) -> int:
+    """Parallelism proportional to graph size (~1M edges/partition):
+    a 50k-edge graph on 32 shuffle partitions pays ~10x more task/
+    shuffle overhead than compute; a 10^12-edge graph needs them all.
+    Returns a cap for the CC loop's shuffles."""
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(2, min(default, (n_edges // 1_000_000) + 1))
+
+
+def _cc_alternating(edges: DataFrame, max_iterations: int, stats: CCStats, _checkpoint) -> DataFrame:
     cur = (
         edges.select(
             F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
@@ -115,6 +142,21 @@ def _cc_alternating(edges: DataFrame, max_iterations: int, stats: CCStats) -> Da
         .distinct()
     )
     cur = _checkpoint(cur)
+    spark = cur.sparkSession
+    nparts = _size_partitions(cur.count(), spark)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+    try:
+        # checkpoint inside the narrowed-partitions scope so the final
+        # aggregation also runs at graph-sized parallelism
+        return _checkpoint(
+            _cc_alternating_loop(cur, max_iterations, stats, _checkpoint)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _cc_alternating_loop(cur: DataFrame, max_iterations: int, stats: CCStats, _checkpoint) -> DataFrame:
     prev_sig = _edge_checksum(cur)
     for it in range(max_iterations):
         cur = _checkpoint(_small_star(_large_star(cur)))
@@ -136,7 +178,7 @@ def _cc_alternating(edges: DataFrame, max_iterations: int, stats: CCStats) -> Da
     )
 
 
-def _cc_hashmin(edges: DataFrame, max_iterations: int, stats: CCStats) -> DataFrame:
+def _cc_hashmin(edges: DataFrame, max_iterations: int, stats: CCStats, _checkpoint) -> DataFrame:
     sym = _checkpoint(_symmetrize(edges).distinct())
     labels = sym.select(F.col("u").alias("id")).distinct().withColumn(
         "label", F.col("id")

@@ -28,12 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from blink_spark.functions import text
-from blink_spark.functions.minhash import minhash_signature_udf
-from blink_spark.functions.similarity import (
-    jaro_winkler_udf,
-    token_set_jaccard,
-    tf_cosine_udf,
-)
+from blink_spark.functions.minhash import content_signature_features_udf
+from blink_spark.functions.similarity import presorted_pair_scores_udf
 from blink_spark.io.tables import StageStore
 from blink_spark.operators import blocking
 from blink_spark.operators.connected_components import (
@@ -84,7 +80,10 @@ class ERPipeline:
     # ---------------------------------------------------------- stages
     def s0_normalize(self, files: DataFrame) -> DataFrame:
         c = self.cfg
-        toks = text.tokenize(c.content_col)
+        # no tokenization here: token arrays in the s0 checkpoint cost
+        # GBs of string storage, and JVM regex tokenization does not
+        # scale across task threads — all token work happens in s1's
+        # fused Python kernel
         return files.select(
             text.stable_file_id(*c.key_cols).alias("file_id"),
             *[F.col(k) for k in c.key_cols if k != c.path_col],
@@ -92,32 +91,53 @@ class ERPipeline:
             F.col(c.lang_col).alias("lang"),
             F.col(c.content_col).alias("content"),
             text.content_sha256(c.content_col).alias("sha256"),
-            toks.alias("tokens"),
-        ).withColumn("n_tokens", F.size("tokens"))
+        )
 
     def s1_signatures(self, s0: DataFrame) -> DataFrame:
         c = self.cfg
-        sig_udf = minhash_signature_udf(c.num_hashes, c.seed)
-        sh = text.shingles(F.col("tokens"), c.shingle_k)
-        return s0.select(
-            "file_id",
-            "lang",
-            F.col(self.cfg.path_col).alias("path"),
-            "sha256",
-            "tokens",
-            sig_udf(text.token_hashes(sh)).alias("minhash"),
+        # ONE fused Arrow pass over content: tokenize (python re —
+        # java regex does not scale across local task threads), hash,
+        # numeric k-gram shingling, MinHash, and the stage-2 scoring
+        # features (sorted unique hashes + counts + TF norm). No token
+        # strings ever cross a shuffle.
+        feat_udf = content_signature_features_udf(
+            c.num_hashes,
+            c.seed,
+            shingle_k=c.shingle_k,
+            bands=c.bands,
+            rows_per_band=c.rows_per_band,
+        )
+        return (
+            s0.select(
+                "file_id",
+                "lang",
+                F.col(self.cfg.path_col).alias("path"),
+                "sha256",
+                feat_udf(F.col("content"), F.col("lang")).alias("ft"),
+            )
+            .select(
+                "file_id",
+                "lang",
+                "path",
+                "sha256",
+                F.col("ft.bands").alias("bands"),
+                F.col("ft.tu").alias("tu"),
+                F.col("ft.tc").alias("tc"),
+                F.col("ft.tnorm").alias("tnorm"),
+                F.col("ft.n_tokens").alias("n_tokens"),
+            )
         )
 
     def s1_blocks(self, s1: DataFrame) -> DataFrame:
         c = self.cfg
-        lsh = blocking.lsh_blocks(
-            s1, "file_id", "lang", "minhash", c.bands, c.rows_per_band
-        )
+        # band keys were already computed (lang folded in) by the s1
+        # kernel — blocking is a pure explode + numeric-key union here
+        lsh = s1.select("file_id", F.explode("bands").alias("block_key"))
         exact = s1.select(
-            blocking.exact_block_key(F.col("lang"), F.col("sha256")).alias("block_key"),
+            F.xxhash64(F.lit("x"), F.col("lang"), F.col("sha256")).alias("block_key"),
             "file_id",
         )
-        return blocking.salt_hot_blocks(
+        return blocking.salt_hot_blocks_numeric(
             lsh.unionByName(exact), "file_id", c.pair_budget
         )
 
@@ -126,18 +146,30 @@ class ERPipeline:
 
     def s2_scores(self, pairs: DataFrame, s1: DataFrame) -> DataFrame:
         c = self.cfg
-        feat = attach_features(pairs, s1, "file_id", ["path", "sha256", "tokens"])
-        jw = jaro_winkler_udf()(F.col("path_a"), F.col("path_b"))
-        jac = token_set_jaccard(F.col("tokens_a"), F.col("tokens_b"))
-        cos = tf_cosine_udf()(F.col("tokens_a"), F.col("tokens_b"))
+        feat = attach_features(
+            pairs, s1, "file_id", ["path", "sha256", "tu", "tc", "tnorm"]
+        )
+        # single fused numpy kernel (JW + jaccard + cosine) over
+        # pre-aggregated per-file features: merge-intersect + dot per
+        # pair, norms precomputed in s1, one worker chain per task
+        sc = presorted_pair_scores_udf()(
+            F.col("path_a"), F.col("path_b"),
+            F.col("tu_a"), F.col("tc_a"), F.col("tnorm_a"),
+            F.col("tu_b"), F.col("tc_b"), F.col("tnorm_b"),
+        )
         exact = F.col("sha256_a") == F.col("sha256_b")
         scored = feat.select(
             "id_a",
             "id_b",
-            jw.alias("jw_path"),
-            jac.alias("jaccard"),
-            cos.alias("cosine"),
+            sc.alias("sc"),
             exact.alias("is_exact"),
+        ).select(
+            "id_a",
+            "id_b",
+            F.col("sc.jw").alias("jw_path"),
+            F.col("sc.jaccard").alias("jaccard"),
+            F.col("sc.cosine").alias("cosine"),
+            "is_exact",
         )
         blend = (
             F.lit(c.w_jw) * F.col("jw_path")
@@ -157,12 +189,19 @@ class ERPipeline:
             edges = top_k_per_node(edges, c.top_k)
         return edges
 
-    def s3_clusters(self, edges: DataFrame, s0: DataFrame, stats: CCStats | None = None) -> DataFrame:
+    def s3_clusters(
+        self,
+        edges: DataFrame,
+        s0: DataFrame,
+        stats: CCStats | None = None,
+        checkpoint_fn=None,
+    ) -> DataFrame:
         comp = connected_components(
             edges.select("id_a", "id_b"),
             algorithm=self.cfg.cc_algorithm,
             max_iterations=self.cfg.cc_max_iterations,
             stats=stats,
+            checkpoint_fn=checkpoint_fn,
         )
         return assign_clusters(s0.select("file_id"), comp, "file_id")
 
@@ -173,14 +212,30 @@ class ERPipeline:
         store: StageStore | None = None,
         resume: bool = True,
         until: str | None = None,
+        scratch_dir: str | None = None,
     ) -> ERResult:
         """Run all stages. With a store, each stage persists to its
         table and an existing table short-circuits recompute (the
         reference's pickle-memoization contract). Without a store,
-        returns lazy DataFrames (caller materializes)."""
+        stages form one lazy plan, except multi-consumer tables (s1,
+        edges) which spill to scratch parquet — measured here, both
+        localCheckpoint and the columnar cache burn far more CPU than
+        a parquet round-trip for these shapes, and parquet is the same
+        mechanism the durable store uses anyway."""
         res = ERResult()
+        if store is None:
+            import tempfile
 
-        def stage(name: str, build, cache_no_store: bool = False) -> DataFrame:
+            scratch_dir = scratch_dir or tempfile.mkdtemp(prefix="blink_scratch_")
+
+        def spill(df: DataFrame, name: str) -> DataFrame:
+            path = f"{scratch_dir}/{name}"
+            df.write.mode("overwrite").parquet(path)
+            return df.sparkSession.read.parquet(path)
+
+        def stage(
+            name: str, build, spill_no_store: bool = False
+        ) -> DataFrame:
             t0 = time.time()
             if store is not None and resume and store.exists(name):
                 df = store.read(name)
@@ -192,24 +247,30 @@ class ERPipeline:
                     lin = store.write_lineage(store.read(name), name)
                     store.write_metrics(name, {"elapsed_sec": time.time() - t0, **lin})
                     df = store.read(name)
-                elif cache_no_store:
-                    df = df.localCheckpoint(eager=False)
+                elif spill_no_store:
+                    df = spill(df, name)
             res.tables[name] = df
             res.timings[name] = time.time() - t0
             return df
 
-        s0 = stage("s0_normalized", lambda: self.s0_normalize(files), True)
+        s0 = stage("s0_normalized", lambda: self.s0_normalize(files))
         s1 = stage("s1_signatures", lambda: self.s1_signatures(s0), True)
         blocks = stage("s1_blocks", lambda: self.s1_blocks(s1))
         if until == "block":
             return res
         pairs = stage("s2_pairs", lambda: self.s2_pairs(blocks))
         scores = stage("s2_scores", lambda: self.s2_scores(pairs, s1), True)
-        edges = stage("s2_edges", lambda: self.s2_edges(scores))
+        edges = stage("s2_edges", lambda: self.s2_edges(scores), True)
         if until == "score":
             return res
         cc_stats = CCStats()
-        clusters = stage("s3_clusters", lambda: self.s3_clusters(edges, s0, cc_stats))
+        from blink_spark.operators.connected_components import make_parquet_checkpointer
+
+        cc_dir = store.path("_cc_scratch") if store is not None else f"{scratch_dir}/cc"
+        cc_ckpt = make_parquet_checkpointer(cc_dir)
+        clusters = stage(
+            "s3_clusters", lambda: self.s3_clusters(edges, s0, cc_stats, cc_ckpt)
+        )
         if cc_stats.iterations and store is not None:
             store.write_metrics(
                 "s3_cc", {"algorithm": cc_stats.algorithm, "iterations": cc_stats.iterations}

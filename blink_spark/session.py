@@ -28,8 +28,11 @@ def get_spark(
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = f"local[{cores}]"
     if shuffle_partitions is None:
+        # = cores, not a multiple: Python-UDF stages pay a per-task
+        # worker cost, and local-mode wall is task-latency-sensitive;
+        # AQE re-splits skewed partitions when needed anyway
         ncores = (os.cpu_count() or 8) if cores == "*" else int(cores)
-        shuffle_partitions = max(8, 2 * ncores)
+        shuffle_partitions = max(8, ncores)
 
     builder = (
         SparkSession.builder.master(master)
@@ -37,11 +40,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # keep coalescing from shrinking below the core count: stage-2
+        # scoring is Python-UDF-heavy, where per-ROW cost dwarfs the
+        # per-BYTE cost AQE's size heuristic sees (7 partitions on a
+        # 32-core box serialized the pair scorer before this)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("BLINK_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("BLINK_SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )

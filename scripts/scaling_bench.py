@@ -1,0 +1,105 @@
+"""Two-parallelism scaling benchmark (the north rule's N vs 4N check).
+
+No real cluster exists in this sandbox, so the rule's two-cluster-size
+criterion is evidenced by running the SAME job at local[8] and
+local[32] on the SAME deterministic input and reporting throughput at
+both plus scaling efficiency = (T_N / T_4N) / 4.
+
+Each level runs in its own subprocess (a JVM can't change master
+in-process). The child also emits a checksum of the (file_id,
+cluster_id) result so the parent can assert bit-identical clusters at
+both parallelism levels — the determinism requirement behind the
+scaling claim.
+
+Usage:  python scripts/scaling_bench.py            # parent: runs 8 and 32
+        python scripts/scaling_bench.py --child N  # one level, prints JSON
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_ENTITIES = int(os.environ.get("SCALE_ENTITIES", "4000"))
+HOT_FAMILY = int(os.environ.get("SCALE_HOT_FAMILY", "300"))
+
+
+def run_child(cores: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from blink_spark.corpus import generate_files
+    from blink_spark.pipeline import ERConfig, ERPipeline
+    from blink_spark.session import get_spark
+
+    spark = get_spark(f"scaling-{cores}", cores=cores)
+    files = generate_files(spark, n_entities=N_ENTITIES, hot_family_size=HOT_FAMILY)
+    files = files.localCheckpoint(eager=True)
+    n_files = files.count()
+
+    pipe = ERPipeline(ERConfig())
+    t0 = time.time()
+    res = pipe.run(files)
+    clusters = res.tables["s3_clusters"]
+    n_scored = res.tables["s2_scores"].count()
+    checksum = clusters.agg(
+        F.coalesce(
+            F.sum(F.xxhash64("file_id", "cluster_id").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h")
+    ).collect()[0]["h"]
+    wall = time.time() - t0
+    return {
+        "cores": cores,
+        "n_files": n_files,
+        "scored_pairs": int(n_scored),
+        "wall_sec": round(wall, 2),
+        "pairs_per_sec": round(n_scored / wall, 1),
+        "files_per_sec": round(n_files / wall, 1),
+        "cluster_checksum": str(checksum),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", type=int, default=None)
+    ap.add_argument("--levels", type=int, nargs=2, default=(8, 32))
+    args = ap.parse_args()
+
+    if args.child is not None:
+        print(json.dumps(run_child(args.child)))
+        return 0
+
+    results = {}
+    for cores in args.levels:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(cores)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[cores] = json.loads(line)
+        print(json.dumps(results[cores]))
+
+    n, n4 = args.levels
+    t_n, t_4n = results[n]["wall_sec"], results[n4]["wall_sec"]
+    factor = n4 / n
+    eff = (t_n / t_4n) / factor
+    identical = results[n]["cluster_checksum"] == results[n4]["cluster_checksum"]
+    summary = {
+        "levels": args.levels,
+        "speedup": round(t_n / t_4n, 3),
+        "scaling_efficiency": round(eff, 3),
+        "clusters_identical": identical,
+        "n_files": results[n]["n_files"],
+        "scored_pairs": results[n]["scored_pairs"],
+    }
+    print(json.dumps(summary))
+    return 0 if (identical and eff >= 0.8) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
