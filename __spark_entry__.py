@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from blink_spark.functions.rounding import qround
+
 from blink_spark.functions import text as btext
 from blink_spark.functions import textstats as ts
 from blink_spark.functions import simhash as sh
@@ -204,11 +206,11 @@ def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "source", F.col("doc_id").alias("id_b"),
         F.col("head").alias("head_b"), F.col("tokens").alias("toks_b"),
     )
-    jw = F.round(jaro_winkler_udf()(F.col("head_a"), F.col("head_b")), 6)
-    jac = F.round(token_set_jaccard(F.col("toks_a"), F.col("toks_b")), 6)
+    jw = qround(jaro_winkler_udf()(F.col("head_a"), F.col("head_b")), 6)
+    jac = qround(token_set_jaccard(F.col("toks_a"), F.col("toks_b")), 6)
     # Counter-kernel cosine: exact-integer math => bit-identical to the
     # Column-expression and DuckDB variants, ~40x faster per pair
-    cos = F.round(tf_cosine_udf()(F.col("toks_a"), F.col("toks_b")), 6)
+    cos = qround(tf_cosine_udf()(F.col("toks_a"), F.col("toks_b")), 6)
     return (
         a.join(b, ["lang", "source"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -218,7 +220,7 @@ def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "score",
-            F.round(
+            qround(
                 F.lit(0.2) * F.col("jw")
                 + F.lit(0.4) * F.col("jaccard")
                 + F.lit(0.4) * F.col("cosine"),
@@ -265,14 +267,14 @@ WITH d AS (
   FROM documents
 ), p AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         round(jaro_winkler_similarity(a.head, b.head), 6) AS jw,
-         round({_jaccard_sql('a.toks', 'b.toks')}, 6) AS jaccard,
-         round({_tf_cosine_sql('a.toks', 'b.toks')}, 6) AS cosine
+         (floor((jaro_winkler_similarity(a.head, b.head)) * 1000000.0 + 0.5) / 1000000.0) AS jw,
+         (floor(({_jaccard_sql('a.toks', 'b.toks')}) * 1000000.0 + 0.5) / 1000000.0) AS jaccard,
+         (floor(({_tf_cosine_sql('a.toks', 'b.toks')}) * 1000000.0 + 0.5) / 1000000.0) AS cosine
   FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
   WHERE a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, jw, jaccard, cosine,
-       round(0.2 * jw + 0.4 * jaccard + 0.4 * cosine, 6) AS score
+       (floor((0.2 * jw + 0.4 * jaccard + 0.4 * cosine) * 1000000.0 + 0.5) / 1000000.0) AS score
 FROM p
 """
 
@@ -324,10 +326,10 @@ WITH d AS (
   SELECT doc_id, lang, list_distinct({_TOKS}) AS sh FROM documents
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round({_jaccard_sql('a.sh', 'b.sh')}, 6) AS jaccard
+       (floor(({_jaccard_sql('a.sh', 'b.sh')}) * 1000000.0 + 0.5) / 1000000.0) AS jaccard
 FROM d a JOIN d b ON a.lang = b.lang
 WHERE a.doc_id < b.doc_id
-  AND round({_jaccard_sql('a.sh', 'b.sh')}, 6) >= 0.5
+  AND (floor(({_jaccard_sql('a.sh', 'b.sh')}) * 1000000.0 + 0.5) / 1000000.0) >= 0.5
 """
 
 
@@ -375,23 +377,21 @@ def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEDUP_EMBEDDING_SQL = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(
-         CASE WHEN sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) = 0
+       (floor((CASE WHEN sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) = 0
                OR sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) = 0
               THEN 0.0
               ELSE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-         END, 6) AS cosine
+         END) * 1000000.0 + 0.5) / 1000000.0) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(
-         CASE WHEN sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) = 0
+WHERE (floor((CASE WHEN sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) = 0
                OR sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) = 0
               THEN 0.0
               ELSE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-         END, 6) >= 0.3
+         END) * 1000000.0 + 0.5) / 1000000.0) >= 0.3
 """
 
 
@@ -422,14 +422,13 @@ _ANN_COSINE_SQL = """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(
-           CASE WHEN sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) = 0
+         (floor((CASE WHEN sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) = 0
                  OR sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) = 0
                 THEN 0.0
                 ELSE list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
                      / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
                         * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
-           END, 6) AS cosine
+           END) * 1000000.0 + 0.5) / 1000000.0) AS cosine
   FROM q CROSS JOIN embeddings c
   WHERE q.vec_id <> c.vec_id
 ), ranked AS (
@@ -477,7 +476,7 @@ def _text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         ts.lang_guess("text").alias("lang_guess"),
-        *[F.round(ratios[lang], 6).alias(f"ratio_{lang}") for lang in sorted(ratios)],
+        *[qround(ratios[lang], 6).alias(f"ratio_{lang}") for lang in sorted(ratios)],
     )
 
 
@@ -486,7 +485,7 @@ _TEXT_LANGID_SQL = (
     + ts.lang_guess_sql("text")
     + " AS lang_guess, "
     + ", ".join(
-        f"round({ts._lang_ratio_sql('text', lang)}, 6) AS ratio_{lang}"
+        f"(floor(({ts._lang_ratio_sql('text', lang)}) * 1000000.0 + 0.5) / 1000000.0) AS ratio_{lang}"
         for lang in sorted(ts.STOPWORDS)
     )
     + " FROM documents"
@@ -498,9 +497,9 @@ def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(
         "doc_id",
         q["n_chars"].alias("n_chars_m"),
-        F.round(q["punct_ratio"], 6).alias("punct_ratio"),
-        F.round(q["mean_token_len"], 6).alias("mean_token_len"),
-        F.round(q["stopword_ratio"], 6).alias("stopword_ratio"),
+        qround(q["punct_ratio"], 6).alias("punct_ratio"),
+        qround(q["mean_token_len"], 6).alias("mean_token_len"),
+        qround(q["stopword_ratio"], 6).alias("stopword_ratio"),
         ts.quality_score("text").alias("quality"),
     )
 
@@ -508,9 +507,9 @@ def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_QUALITY_SQL = f"""
 SELECT doc_id,
        {ts.quality_components_sql('text')['n_chars']} AS n_chars_m,
-       round({ts.quality_components_sql('text')['punct_ratio']}, 6) AS punct_ratio,
-       round({ts.quality_components_sql('text')['mean_token_len']}, 6) AS mean_token_len,
-       round({ts.quality_components_sql('text')['stopword_ratio']}, 6) AS stopword_ratio,
+       (floor(({ts.quality_components_sql('text')['punct_ratio']}) * 1000000.0 + 0.5) / 1000000.0) AS punct_ratio,
+       (floor(({ts.quality_components_sql('text')['mean_token_len']}) * 1000000.0 + 0.5) / 1000000.0) AS mean_token_len,
+       (floor(({ts.quality_components_sql('text')['stopword_ratio']}) * 1000000.0 + 0.5) / 1000000.0) AS stopword_ratio,
        {ts.quality_score_sql('text')} AS quality
 FROM documents
 """
@@ -581,7 +580,7 @@ def _rel_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            qround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
                 "revenue"
             ),
         )
@@ -590,7 +589,7 @@ def _rel_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REL_SCAN_SQL = """
 SELECT l_orderkey, l_linenumber,
-       round(l_extendedprice * (1 - l_discount), 4) AS revenue
+       (floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) / 10000.0) AS revenue
 FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02
 """
 
@@ -601,12 +600,12 @@ def _rel_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
+            qround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            qround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            qround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            qround(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -614,10 +613,10 @@ def _rel_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REL_AGG_Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 4) AS avg_qty,
+       (floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0) AS sum_qty,
+       (floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0) AS sum_base_price,
+       (floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0) AS sum_disc_price,
+       (floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0) AS avg_qty,
        count(*)::BIGINT AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -636,14 +635,14 @@ def _rel_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            qround(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
 
 
 _REL_JOIN_DIMS_SQL = """
 SELECT r_name, count(*)::BIGINT AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price
+       (floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0) AS total_price
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -715,19 +714,19 @@ def _rel_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
-        F.round(scaled, 6).alias("scaled"),
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-val)), 6).alias("sigmoid_value"),
+        qround(scaled, 6).alias("scaled"),
+        qround(F.lit(1.0) / (F.lit(1.0) + F.exp(-val)), 6).alias("sigmoid_value"),
     )
 
 
 _REL_MINMAX_SQL = """
 SELECT event_id, event_type,
-       round(CASE WHEN max(value) OVER (PARTITION BY event_type)
+       (floor((CASE WHEN max(value) OVER (PARTITION BY event_type)
                        = min(value) OVER (PARTITION BY event_type) THEN 0.0
                   ELSE (value - min(value) OVER (PARTITION BY event_type))
                        / (max(value) OVER (PARTITION BY event_type)
-                          - min(value) OVER (PARTITION BY event_type)) END, 6) AS scaled,
-       round(1.0 / (1.0 + exp(-value)), 6) AS sigmoid_value
+                          - min(value) OVER (PARTITION BY event_type)) END) * 1000000.0 + 0.5) / 1000000.0) AS scaled,
+       (floor((1.0 / (1.0 + exp(-value))) * 1000000.0 + 0.5) / 1000000.0) AS sigmoid_value
 FROM events
 """
 
@@ -737,12 +736,12 @@ def _rel_quantile_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"))
+        .agg(qround(F.expr("percentile(value, 0.9)"), 4).alias("p90"))
     )
 
 
 _REL_QUANTILE_SQL = """
-SELECT event_type, round(quantile_cont(value, 0.9), 4) AS p90
+SELECT event_type, (floor((quantile_cont(value, 0.9)) * 10000.0 + 0.5) / 10000.0) AS p90
 FROM events GROUP BY event_type
 """
 

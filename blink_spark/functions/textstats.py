@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 
 from blink_spark.functions.text import TOKEN_SPLIT_RE, tokenize
 
+from blink_spark.functions.rounding import qround
+
 # Per-language stopword lists for the n-gram/stopword language-ID
 # heuristic. Deterministic and tiny by design (broadcast as literals
 # into codegen — no dictionary table needed).
@@ -189,7 +191,7 @@ def quality_score(text_col: Column | str) -> Column:
         + F.lit(0.2) * F.least(q["mean_token_len"] / F.lit(8.0), F.lit(1.0))
         + F.lit(0.2) * F.least(q["stopword_ratio"] * F.lit(5.0), F.lit(1.0))
     )
-    return F.round(score, 6)
+    return qround(score, 6)
 
 
 def quality_components_sql(col: str) -> dict[str, str]:
@@ -219,10 +221,10 @@ def quality_components_sql(col: str) -> dict[str, str]:
 def quality_score_sql(col: str) -> str:
     q = quality_components_sql(col)
     return (
-        f"round(0.3 * least(({q['n_tokens']})::DOUBLE / 50.0, 1.0) "
+        f"(floor((0.3 * least(({q['n_tokens']})::DOUBLE / 50.0, 1.0) "
         f"+ 0.3 * (1.0 - ({q['punct_ratio']})) "
         f"+ 0.2 * least(({q['mean_token_len']}) / 8.0, 1.0) "
-        f"+ 0.2 * least(({q['stopword_ratio']}) * 5.0, 1.0), 6)"
+        f"+ 0.2 * least(({q['stopword_ratio']}) * 5.0, 1.0)) * 1000000.0 + 0.5) / 1000000.0)"
     )
 
 
@@ -234,7 +236,8 @@ def norm_sha256(text_col: Column | str) -> Column:
 
 
 def norm_sha256_sql(col: str) -> str:
-    return f"sha256(array_to_string({tokens_sql(col)}, ' '))"
+    # DuckDB array_to_string([]) is NULL (Spark concat_ws gives '') — coalesce
+    return f"sha256(coalesce(array_to_string({tokens_sql(col)}, ' '), ''))"
 
 
 def min_shingle_fingerprint(text_col: Column | str, k: int = 5) -> Column:

@@ -32,6 +32,8 @@ from pyspark.sql import Window as W
 
 from blink_spark.functions.similarity import array_cosine
 
+from blink_spark.functions.rounding import qround
+
 
 def _topk_window(scored: DataFrame, k: int) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(
@@ -72,7 +74,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(array_cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+            qround(array_cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
         )
     )
     return _topk_window(scored, k)
@@ -151,7 +153,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(array_cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+            qround(array_cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -213,7 +215,7 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(array_cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+            qround(array_cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )

@@ -27,6 +27,8 @@ from blink_spark.operators import blocking
 from blink_spark.operators.connected_components import assign_clusters, connected_components
 from blink_spark.operators.pairs import candidate_pairs
 
+from blink_spark.functions.rounding import qround
+
 
 # ------------------------------------------------------------------ exact
 
@@ -93,7 +95,7 @@ def minhash_lsh_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(token_set_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+            qround(token_set_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= jaccard_threshold)
     )
@@ -130,7 +132,7 @@ def ngram_jaccard_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(token_set_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+            qround(token_set_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
@@ -165,7 +167,7 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(array_cosine(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
+            qround(array_cosine(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])

@@ -1,0 +1,75 @@
+"""ANN search: exact top-k vs numpy brute force; IVF / LSH recall vs
+the exact result (the reference's recall@k gate, eval_cluster_linking
+.py:488-541)."""
+
+import numpy as np
+import pytest
+
+from blink_spark.operators import ann
+
+
+def _clustered_vectors(n=200, dim=16, k_clusters=8, seed=9):
+    rng = np.random.RandomState(seed)
+    cents = rng.standard_normal((k_clusters, dim)) * 3
+    rows = []
+    for i in range(n):
+        c = i % k_clusters
+        rows.append((i, (cents[c] + rng.standard_normal(dim) * 0.3).tolist()))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.createDataFrame(
+        _clustered_vectors(), "vec_id long, embedding array<double>"
+    ).cache()
+    df.count()
+    return df
+
+
+def _numpy_topk(rows, k=5):
+    ids = [r[0] for r in rows]
+    m = np.asarray([r[1] for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(m @ m.T, 6)
+    out = {}
+    for qi, q in enumerate(ids):
+        order = sorted(
+            ((sims[qi, ci], -c) for ci, c in enumerate(ids) if c != q), reverse=True
+        )
+        out[q] = [(-nid, s) for s, nid in order[:k]]
+    return out
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    rows = [(r["vec_id"], r["embedding"]) for r in emb.collect()]
+    exp = _numpy_topk(rows, k=5)
+    got = {}
+    for r in ann.cosine_topk(emb, k=5).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    assert set(got) == set(exp)
+    for q in exp:
+        ordered = [(nid, cos) for _, nid, cos in sorted(got[q])]
+        assert ordered == [(nid, pytest.approx(s, abs=1e-6)) for nid, s in exp[q]]
+
+
+def test_ivf_recall(spark, emb):
+    exact = ann.cosine_topk(emb, k=5)
+    approx = ann.ivf_topk(emb, k=5, n_cells=8, nprobe=3)
+    r = ann.recall_vs_exact(approx, exact)
+    assert r >= 0.8, r
+
+
+def test_lsh_recall(spark, emb):
+    exact = ann.cosine_topk(emb, k=5)
+    approx = ann.lsh_topk(emb, k=5, n_planes=6, n_tables=8, dim=16)
+    r = ann.recall_vs_exact(approx, exact)
+    assert r >= 0.7, r
+
+
+def test_ivf_deterministic_across_partitioning(spark, emb):
+    a = sorted(map(tuple, ann.ivf_topk(emb.repartition(3), k=3, n_cells=8, nprobe=2)
+                   .select("query_id", "neighbor_id", "rank").collect()))
+    b = sorted(map(tuple, ann.ivf_topk(emb.repartition(11), k=3, n_cells=8, nprobe=2)
+                   .select("query_id", "neighbor_id", "rank").collect()))
+    assert a == b

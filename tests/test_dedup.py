@@ -1,0 +1,80 @@
+"""Dedup suite over the clone-family corpus: exact groups, LSH recall
+of exact dups, transitive clustering invariants."""
+
+from pyspark.sql import functions as F
+
+from blink_spark.functions import text
+from blink_spark.operators import dedup
+
+
+def _docs(corpus):
+    return corpus.select(
+        text.stable_file_id("repo", "path", "commit").alias("doc_id"),
+        F.col("lang"),
+        F.col("content").alias("text"),
+    )
+
+
+def test_exact_dup_groups(spark, corpus):
+    docs = _docs(corpus)
+    groups = dedup.exact_dup_groups(docs)
+    assert groups.count() == docs.count()  # every row kept exactly once
+    # exact/base variants share content => at least one group of size >= 2
+    assert groups.where(F.col("group_size") >= 2).count() > 0
+    # group id is a member of the group (min doc_id)
+    bad = groups.groupBy("dup_group").agg(F.min("doc_id").alias("mn")).where(
+        F.col("dup_group") != F.col("mn")
+    )
+    assert bad.count() == 0
+
+
+def test_minhash_lsh_recovers_exact_dups(spark, corpus):
+    docs = _docs(corpus)
+    pairs = dedup.minhash_lsh_dup_pairs(
+        docs, shingle_k=3, jaccard_threshold=0.9
+    )
+    # every exact-duplicate pair must be found (jaccard == 1)
+    sha = docs.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("sha")
+    )
+    a = sha.select(F.col("sha"), F.col("doc_id").alias("id_a"))
+    b = sha.select(F.col("sha"), F.col("doc_id").alias("id_b"))
+    exact_pairs = (
+        a.join(b, "sha").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    )
+    n_exact = exact_pairs.count()
+    assert n_exact > 0
+    missed = exact_pairs.join(
+        pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    ).count()
+    assert missed == 0, f"LSH missed {missed}/{n_exact} exact-dup pairs"
+
+
+def test_dedup_clusters_and_representatives(spark, corpus):
+    docs = _docs(corpus)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, shingle_k=3, threshold=0.8
+    )
+    clusters = dedup.dedup_clusters(pairs, docs.select("doc_id"))
+    assert clusters.count() == docs.count()
+    assert clusters.select("doc_id").distinct().count() == docs.count()
+    reps = dedup.keep_representatives(clusters)
+    assert reps.count() == clusters.select("cluster_id").distinct().count()
+    # representative belongs to its own cluster
+    joined = reps.join(clusters, ["doc_id", "cluster_id"], "left_semi")
+    assert joined.count() == reps.count()
+
+
+def test_embedding_near_dup_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),      # orthogonal
+        (4, [0.0, 0.0, 0.0]),      # zero vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert got == {(1, 2)}
