@@ -40,8 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-hashes", type=int, default=128)
     p.add_argument("--shingle-k", type=int, default=5)
     p.add_argument("--threshold", type=float, default=0.45)
-    p.add_argument("--top-k", type=int, default=20)
-    p.add_argument("--pair-budget", type=int, default=5_000_000)
+    p.add_argument("--top-k", type=int, default=0,
+                   help="per-node edge cap; 0 = keep all edges above threshold "
+                        "(default — top-k fractures clone subgroups larger than k)")
+    p.add_argument("--pair-budget", type=int, default=100_000)
     p.add_argument("--cc-algorithm", default="alternating",
                    choices=["alternating", "hashmin"])
     p.add_argument("--eval-gold", action="store_true",

@@ -53,13 +53,26 @@ class ERConfig:
     bands: int = 32
     rows_per_band: int = 4
     seed: int = 42
-    pair_budget: int = 5_000_000
+    # caps any single block's pair count (~sqrt(2B) rows/block): the
+    # worst-case join task is the pipeline's serial floor, so keep it
+    # seconds-sized; recall across salt boundaries is preserved by the
+    # other bands (independent salt cuts), the exact-sha block, and CC
+    # transitivity
+    pair_budget: int = 100_000
     # stage 2 (precision knobs)
     w_jw: float = 0.2
     w_jaccard: float = 0.4
     w_cosine: float = 0.4
     threshold: float = 0.45
-    top_k: int | None = 20
+    # per-node top-k edge pruning is OFF by default: in a clone family
+    # any variant subgroup larger than k out-scores its bridge edges on
+    # BOTH endpoints and disconnects (measured: a 1000-file family's
+    # 166 license-header variants split off at k=20 AND k=60, recall
+    # 0.73). The reference avoids this with entity-constrained
+    # partitioning (special_partition.pyx:288-356); in pure dedup the
+    # equivalent is threshold-only edges + CC. top_k remains available
+    # as the T1/T2 ladder knob for recall-bounded retrieval use.
+    top_k: int | None = None
     # stage 3
     cc_algorithm: str = "alternating"
     cc_max_iterations: int = 50

@@ -102,3 +102,27 @@ def test_corpus_deterministic_across_partitioning(spark):
     a = generate_files(spark, 30, seed=42, partitions=2).orderBy("repo", "path", "commit")
     b = generate_files(spark, 30, seed=42, partitions=7).orderBy("repo", "path", "commit")
     assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_salted_hot_family_stays_one_cluster(spark):
+    """Regression: (a) pair-budget salting must not fracture a family
+    (bands cut at independent salt boundaries; CC bridges the cuts);
+    (b) per-node top-k pruning is off by default — a variant subgroup
+    larger than k would out-score its bridge edges on both endpoints
+    and split off (observed at k=20 and k=60 with a 1000-file family)."""
+    from blink_spark.corpus import generate_files
+    from blink_spark.eval import pairwise_metrics
+    from blink_spark.functions import text
+    from blink_spark.pipeline import ERConfig, ERPipeline
+
+    files = generate_files(spark, n_entities=300, hot_family_size=300).localCheckpoint(
+        eager=True
+    )
+    cfg = ERConfig(pair_budget=10_000)  # rows_budget ~141 -> family is salted
+    res = ERPipeline(cfg).run(files)
+    gold = files.select(
+        text.stable_file_id("repo", "path", "commit").alias("file_id"), "entity_id"
+    )
+    m = pairwise_metrics(res.tables["s3_clusters"], gold)
+    assert m["precision"] == 1.0
+    assert m["recall"] >= 0.99, m
