@@ -370,8 +370,23 @@ WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
 
 
 def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-cosine brute force (method="exact") — the oracle/verifier
+    path, mirroring dedup_ngram_jaccard vs dedup_minhash_lsh: the SQL
+    twin is an all-pairs join, so the Spark side must be exact too.
+    The production default (sign-LSH bucket blocking) is exercised by
+    dedup_embedding_lsh below."""
     return dedup.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, method="exact"
+    )
+
+
+def _dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production scale path: sign-LSH bucket equi-join + exact-cosine
+    verify (rows-only check: hyperplane buckets have no DuckDB twin;
+    the pytest recall floor covers recall vs the exact path)."""
+    return dedup.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, method="lsh",
+        n_planes=8, n_tables=8,
     )
 
 
@@ -715,7 +730,11 @@ def _rel_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         qround(scaled, 6).alias("scaled"),
-        qround(F.lit(1.0) / (F.lit(1.0) + F.exp(-val)), 6).alias("sigmoid_value"),
+        # sigmoid needs exp(), which is only ~1-ulp-accurate in BOTH
+        # engines' libm; 4dp rounding shrinks the boundary-flake window
+        # ~100x vs 6dp (min-max scaling above is pure rational IEEE ops
+        # and stays at 6dp)
+        qround(F.lit(1.0) / (F.lit(1.0) + F.exp(-val)), 4).alias("sigmoid_value"),
     )
 
 
@@ -726,23 +745,56 @@ SELECT event_id, event_type,
                   ELSE (value - min(value) OVER (PARTITION BY event_type))
                        / (max(value) OVER (PARTITION BY event_type)
                           - min(value) OVER (PARTITION BY event_type)) END) * 1000000.0 + 0.5) / 1000000.0) AS scaled,
-       (floor((1.0 / (1.0 + exp(-value))) * 1000000.0 + 0.5) / 1000000.0) AS sigmoid_value
+       (floor((1.0 / (1.0 + exp(-value::DOUBLE))) * 10000.0 + 0.5) / 10000.0) AS sigmoid_value
 FROM events
 """
 
 
 def _rel_quantile_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 threshold-selection analog: exact p90 of value per type."""
-    return (
-        _t(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(qround(F.expr("percentile(value, 0.9)"), 4).alias("p90"))
+    """A7 threshold-selection analog: p90 of value per type with the
+    linear interpolation spelled out MANUALLY — rank k = floor(.9(n-1)),
+    p90 = a + (b-a)*frac — so both engines execute the identical IEEE
+    op sequence (engine-internal percentile kernels may order the
+    interpolation arithmetic differently, a residual 1-ulp flake risk
+    the exact-math kernels elsewhere deliberately avoid)."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    wg = W.partitionBy("event_type")
+    d = ev.withColumn(
+        "rn", F.row_number().over(wg.orderBy("value"))
+    ).withColumn("n", F.count(F.lit(1)).over(wg))
+    pos = F.lit(0.9) * (F.col("n") - 1).cast("double")
+    k = F.floor(pos).cast("long")
+    d = d.withColumn("k", k).withColumn("frac", pos - F.floor(pos))
+    agg = d.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.col("k") + 1, F.col("value"))).alias("a"),
+        F.max(F.when(F.col("rn") == F.col("k") + 2, F.col("value"))).alias("b"),
+        F.max("frac").alias("frac"),
     )
+    p90 = F.col("a") + (F.coalesce(F.col("b"), F.col("a")) - F.col("a")) * F.col("frac")
+    return agg.select("event_type", qround(p90, 4).alias("p90"))
 
 
 _REL_QUANTILE_SQL = """
-SELECT event_type, (floor((quantile_cont(value, 0.9)) * 10000.0 + 0.5) / 10000.0) AS p90
-FROM events GROUP BY event_type
+WITH d AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), k AS (
+  SELECT event_type, value, rn,
+         CAST(floor(0.9::DOUBLE * (n - 1)::DOUBLE) AS BIGINT) AS k,
+         0.9::DOUBLE * (n - 1)::DOUBLE - floor(0.9::DOUBLE * (n - 1)::DOUBLE) AS frac
+  FROM d
+), agg AS (
+  SELECT event_type,
+         max(CASE WHEN rn = k + 1 THEN value END) AS a,
+         max(CASE WHEN rn = k + 2 THEN value END) AS b,
+         max(frac) AS frac
+  FROM k GROUP BY event_type
+)
+SELECT event_type,
+       (floor((a + (coalesce(b, a) - a) * frac) * 10000.0 + 0.5) / 10000.0) AS p90
+FROM agg
 """
 
 
@@ -806,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_fingerprints": _dedup_simhash_fp,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "dedup_embedding_cosine": _dedup_embedding,
+        "dedup_embedding_lsh": _dedup_embedding_lsh,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         # similarity search
         "ann_cosine_topk": _ann_cosine_topk,

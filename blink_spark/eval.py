@@ -24,26 +24,32 @@ def _n_choose_2(col):
 
 def pairwise_metrics(clusters: DataFrame, gold: DataFrame, id_col: str = "file_id") -> dict:
     """Pairwise P/R/F1 from co-occurrence counts (scalable: never
-    materializes pairs). clusters: (id, cluster_id); gold: (id, entity_id)."""
+    materializes pairs). clusters: (id, cluster_id); gold: (id, entity_id).
+
+    ONE job: GROUPING SETS computes the (cluster, entity) /
+    (cluster) / (entity) counts in a single shuffle, and one final agg
+    folds them into tp / pred / gold (was three separate collect()s
+    re-running the same join)."""
     j = clusters.join(gold, id_col)
-    tp = (
-        j.groupBy("cluster_id", "entity_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.coalesce(F.sum(_n_choose_2(F.col("n"))), F.lit(0.0)))
-        .collect()[0][0]
-    )
-    pred = (
-        j.groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.coalesce(F.sum(_n_choose_2(F.col("n"))), F.lit(0.0)))
-        .collect()[0][0]
-    )
-    gold_pairs = (
-        j.groupBy("entity_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.coalesce(F.sum(_n_choose_2(F.col("n"))), F.lit(0.0)))
-        .collect()[0][0]
-    )
+    counts = j.groupingSets(
+        [["cluster_id", "entity_id"], ["cluster_id"], ["entity_id"]],
+        "cluster_id",
+        "entity_id",
+    ).agg(F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid"))
+    # grouping_id bit = 1 when the column is aggregated away:
+    # 0 -> (cluster, entity); 1 -> (cluster); 2 -> (entity)
+    row = counts.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("gid") == 0, _n_choose_2(F.col("n")))), F.lit(0.0)
+        ).alias("tp"),
+        F.coalesce(
+            F.sum(F.when(F.col("gid") == 1, _n_choose_2(F.col("n")))), F.lit(0.0)
+        ).alias("pred"),
+        F.coalesce(
+            F.sum(F.when(F.col("gid") == 2, _n_choose_2(F.col("n")))), F.lit(0.0)
+        ).alias("gold"),
+    ).collect()[0]
+    tp, pred, gold_pairs = row["tp"], row["pred"], row["gold"]
     precision = tp / pred if pred else 1.0
     recall = tp / gold_pairs if gold_pairs else 1.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0

@@ -175,6 +175,7 @@ def content_signature_features_udf(
     shingle_k: int = 1,
     bands: int = 0,
     rows_per_band: int = 0,
+    return_shingles: bool = False,
 ):
     """The fused stage-1 kernel: ONE Arrow pass over raw content
     computes tokenization, 64-bit token hashes (pandas siphash,
@@ -193,20 +194,25 @@ def content_signature_features_udf(
     (content string, group string) ->
         struct<minhash array<bigint>, bands array<bigint>,
                tu array<bigint>, tc array<bigint>, tnorm double,
-               n_tokens int>
+               n_tokens int[, su array<bigint>]>
+
+    return_shingles adds ``su``: the sorted unique k-gram SHINGLE
+    hashes — the exact-Jaccard verify set for MinHash-LSH candidates
+    (near-dup pipelines verify on shingles, not unigram tokens).
     """
     a_params, b_params = perm_params(num_hashes, seed)
     c = _U64(SHINGLE_C)
-    schema = T.StructType(
-        [
-            T.StructField("minhash", T.ArrayType(T.LongType())),
-            T.StructField("bands", T.ArrayType(T.LongType())),
-            T.StructField("tu", T.ArrayType(T.LongType())),
-            T.StructField("tc", T.ArrayType(T.LongType())),
-            T.StructField("tnorm", T.DoubleType()),
-            T.StructField("n_tokens", T.IntegerType()),
-        ]
-    )
+    fields = [
+        T.StructField("minhash", T.ArrayType(T.LongType())),
+        T.StructField("bands", T.ArrayType(T.LongType())),
+        T.StructField("tu", T.ArrayType(T.LongType())),
+        T.StructField("tc", T.ArrayType(T.LongType())),
+        T.StructField("tnorm", T.DoubleType()),
+        T.StructField("n_tokens", T.IntegerType()),
+    ]
+    if return_shingles:
+        fields.append(T.StructField("su", T.ArrayType(T.LongType())))
+    schema = T.StructType(fields)
 
     @F.pandas_udf(schema)
     def _feat(
@@ -231,6 +237,7 @@ def content_signature_features_udf(
 
         for contents, groups in batches:
             sigs, bnds, tus, tcs, norms, ntoks = [], [], [], [], [], []
+            sus: list[list[int]] = []
             for content, group in zip(contents, groups):
                 toks = tokenize_py(content)
                 ntoks.append(len(toks))
@@ -240,6 +247,8 @@ def content_signature_features_udf(
                     tus.append([])
                     tcs.append([])
                     norms.append(0.0)
+                    if return_shingles:
+                        sus.append([])
                 else:
                     raw = pd.util.hash_array(
                         np.asarray(toks, dtype=object)
@@ -262,6 +271,10 @@ def content_signature_features_udf(
                             for j in range(shingle_k):
                                 acc = (acc * c + h[j : j + m]) & _MASK64
                             h = acc
+                    if return_shingles:
+                        sus.append(
+                            np.sort(np.unique(h).view(np.int64)).tolist()
+                        )
                     v = (h[:, None] * a + b) & _MASK64
                     sig_u64 = v.min(axis=0)
                     sigs.append((sig_u64 >> _U64(1)).astype(np.int64).tolist())
@@ -273,16 +286,17 @@ def content_signature_features_udf(
                     )
                 else:
                     bnds.append([])
-            yield pd.DataFrame(
-                {
-                    "minhash": sigs,
-                    "bands": bnds,
-                    "tu": tus,
-                    "tc": tcs,
-                    "tnorm": norms,
-                    "n_tokens": pd.Series(ntoks, dtype="int32"),
-                }
-            )
+            cols = {
+                "minhash": sigs,
+                "bands": bnds,
+                "tu": tus,
+                "tc": tcs,
+                "tnorm": norms,
+                "n_tokens": pd.Series(ntoks, dtype="int32"),
+            }
+            if return_shingles:
+                cols["su"] = sus
+            yield pd.DataFrame(cols)
 
     return _feat
 

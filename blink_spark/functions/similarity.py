@@ -266,6 +266,37 @@ def presorted_pair_scores_udf():
     return _scores
 
 
+def presorted_jaccard_udf():
+    """Set Jaccard over PRE-SORTED-UNIQUE int64 hash arrays (the fused
+    stage-1 kernel's ``su`` field): one merge-intersect per pair, one
+    Arrow pass per batch. Exact-integer math => deterministic at any
+    parallelism.
+
+    (array<long>, array<long>) -> double
+    """
+    import numpy as np
+
+    @F.pandas_udf(T.DoubleType())
+    def _jac(batches: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for a, b in batches:
+            n = len(a)
+            out = np.empty(n, dtype=np.float64)
+            for i, (x, y) in enumerate(zip(a, b)):
+                xa = np.asarray(x if x is not None else [], dtype=np.int64)
+                ya = np.asarray(y if y is not None else [], dtype=np.int64)
+                if xa.size == 0 and ya.size == 0:
+                    out[i] = 1.0
+                    continue
+                if xa.size == 0 or ya.size == 0:
+                    out[i] = 0.0
+                    continue
+                inter = np.intersect1d(xa, ya, assume_unique=True).size
+                out[i] = inter / (xa.size + ya.size - inter)
+            yield pd.Series(out)
+
+    return _jac
+
+
 def hashed_pair_scores_udf():
     """Fused pair scorer over PRE-HASHED token arrays: one Arrow pass
     computes both token-set Jaccard and TF-cosine with vectorized

@@ -52,22 +52,34 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    broadcast_queries: bool = True,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine: (query_id, neighbor_id, cosine, rank).
 
-    queries=None -> self-search (excludes self-pairs). The join is a
-    cartesian per partition pair; with broadcast_queries the corpus is
-    streamed once and never shuffled — the right baseline shape when
-    |queries| << |corpus|.
+    queries=None -> self-search (excludes self-pairs).
+
+    Broadcast policy (broadcast_queries=None -> auto): broadcast the
+    query side ONLY when an explicit bounded query table is given
+    (|queries| << |corpus| is the baseline shape — the corpus streams
+    and never shuffles). Self-search broadcasts NOTHING: the "query
+    side" is the whole corpus, and broadcasting it OOMs every executor
+    at scale — instead force a shuffle-replicated nested loop
+    (CartesianProduct: each task pairs one left partition with one
+    right partition; memory-bounded at any corpus size).
     """
-    q = queries if queries is not None else corpus
+    self_search = queries is None
+    q = corpus if self_search else queries
+    if broadcast_queries is None:
+        broadcast_queries = not self_search
     qs = q.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     cs = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     if broadcast_queries:
         qs = F.broadcast(qs)
+    else:
+        # bars BroadcastNestedLoopJoin (which would broadcast a side)
+        qs = qs.hint("shuffle_replicate_nl")
     scored = (
         qs.crossJoin(cs)
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -82,17 +94,34 @@ def cosine_topk(
 
 # ----------------------------------------------------------------- IVF
 
+def _vec_matrix(series: pd.Series, dim: int, what: str) -> np.ndarray:
+    """Stack an Arrow batch of embeddings into [n, dim] float64 with a
+    CLEAR error for null / ragged rows (a bad row otherwise surfaces as
+    an opaque object-array matmul failure deep inside numpy)."""
+    vecs = []
+    for i, v in enumerate(series):
+        if v is None or len(v) != dim:
+            got = "null" if v is None else f"len={len(v)}"
+            raise ValueError(
+                f"{what}: embedding row {i} in batch is {got}, expected "
+                f"array of length {dim}; filter or fix upstream"
+            )
+        vecs.append(v)
+    return np.asarray(vecs, dtype=np.float64)
+
+
 def _matmul_assign_udf(centroids: np.ndarray, nprobe: int):
     """pandas UDF: embedding -> nprobe nearest centroid ids (by cosine).
     One numpy matmul per Arrow batch — the FAISS coarse quantizer."""
     cn = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
+    dim = centroids.shape[1]
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _assign(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for series in batches:
-            m = np.asarray([np.asarray(v, dtype=np.float64) for v in series])
+            m = _vec_matrix(series, dim, "ivf cell assignment")
             m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
             sims = m @ cn.T  # [batch, n_cells]
             order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
@@ -122,6 +151,51 @@ def ivf_cells(
     return np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
 
 
+def ivf_cells_df(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Centroid TABLE (cell_id, centroid) — the same deterministic
+    hash-min sample as ivf_cells but never collected to the driver:
+    the scale path when nlist grows past what a task closure should
+    ship (~10^4 centroids; at nlist = sqrt(10^12) the closure is GBs,
+    a broadcast-joined table is not)."""
+    sample = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("centroid"))
+        .withColumn("h", F.xxhash64(F.col("cid"), F.lit(seed)))
+        .orderBy("h")
+        .limit(n_cells)
+    )
+    # n_cells rows only — the single-partition window is bounded
+    w = W.orderBy("h", "cid")
+    return sample.select(
+        (F.row_number().over(w) - 1).cast("int").alias("cell_id"), "centroid"
+    )
+
+
+def _assign_cells_join(
+    side: DataFrame, cents: DataFrame, nprobe: int, id_name: str, vec_name: str
+) -> DataFrame:
+    """Cell assignment via a broadcast join against the centroid table:
+    rank each row's cosine to every centroid, keep the nprobe best.
+    Replaces the closure-shipped numpy matmul when nlist is large."""
+    scored = side.crossJoin(F.broadcast(cents)).select(
+        id_name,
+        vec_name,
+        "cell_id",
+        array_cosine(F.col(vec_name), F.col("centroid")).alias("csim"),
+    )
+    w = W.partitionBy(id_name).orderBy(F.desc("csim"), F.asc("cell_id"))
+    return (
+        scored.withColumn("crk", F.row_number().over(w))
+        .where(F.col("crk") <= nprobe)
+        .select(id_name, vec_name, "cell_id")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame | None = None,
@@ -131,22 +205,42 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    assign: str = "closure",
 ) -> DataFrame:
     """IVF ANN: corpus rows live in their 1 nearest cell; queries probe
     their nprobe nearest cells; exact cosine + top-k within probed
     cells. Equi-join on cell_id replaces the cross join — shuffle
-    shrinks by ~n_cells/nprobe."""
-    cents = ivf_cells(corpus, n_cells, id_col, vec_col, seed)
-    assign1 = _matmul_assign_udf(cents, 1)
-    assignp = _matmul_assign_udf(cents, nprobe)
-    cs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    ).withColumn("cell_id", F.element_at(assign1(F.col("c_vec")), 1))
+    shrinks by ~n_cells/nprobe.
+
+    assign="closure": centroids collected once, shipped in the UDF
+    closure, one numpy matmul per Arrow batch (fastest; right up to
+    nlist ~ 10^4). assign="join": centroids stay a DataFrame and cell
+    assignment is a broadcast join + window (the nlist >> 10^4 scale
+    path — nothing centroid-sized ever touches the driver)."""
     q = queries if queries is not None else corpus
-    qs = (
-        q.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-        .withColumn("cell_id", F.explode(assignp(F.col("q_vec"))))
-    )
+    if assign == "join":
+        cents_df = ivf_cells_df(corpus, n_cells, id_col, vec_col, seed)
+        cs = _assign_cells_join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+            ),
+            cents_df, 1, "neighbor_id", "c_vec",
+        )
+        qs = _assign_cells_join(
+            q.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+            cents_df, nprobe, "query_id", "q_vec",
+        )
+    else:
+        cents = ivf_cells(corpus, n_cells, id_col, vec_col, seed)
+        assign1 = _matmul_assign_udf(cents, 1)
+        assignp = _matmul_assign_udf(cents, nprobe)
+        cs = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ).withColumn("cell_id", F.element_at(assign1(F.col("c_vec")), 1))
+        qs = (
+            q.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+            .withColumn("cell_id", F.explode(assignp(F.col("q_vec"))))
+        )
     scored = (
         qs.join(cs, "cell_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -162,18 +256,35 @@ def ivf_topk(
 
 # ----------------------------------------------------- hyperplane LSH
 
-def hyperplane_bucket_udf(dim: int, n_planes: int = 16, n_tables: int = 4, seed: int = 42):
+def hyperplane_bucket_udf(
+    dim: int | None = None, n_planes: int = 16, n_tables: int = 4, seed: int = 42
+):
     """pandas UDF: embedding -> array of n_tables sign-LSH bucket keys.
     Table t's key packs the signs of n_planes fixed random hyperplanes
-    into an int; vectorized numpy matmul per batch."""
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_tables, n_planes, dim))
+    into an int; vectorized numpy matmul per batch.
+
+    dim=None reads the dimension from the first row of each batch and
+    derives the planes from (seed, dim) — identical on every executor,
+    and no driver-side job is triggered just to sniff the dimension."""
     weights = (2 ** np.arange(n_planes, dtype=np.int64))[None, :]
+    plane_cache: dict[int, np.ndarray] = {}
+
+    def planes_for(d: int) -> np.ndarray:
+        p = plane_cache.get(d)
+        if p is None:
+            rng = np.random.RandomState(seed)
+            p = plane_cache[d] = rng.standard_normal((n_tables, n_planes, d))
+        return p
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _buckets(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for series in batches:
-            m = np.asarray([np.asarray(v, dtype=np.float64) for v in series])
+            if len(series) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            d = dim if dim is not None else len(series.iloc[0])
+            planes = planes_for(d)
+            m = _vec_matrix(series, d, "lsh bucketing")
             out = np.empty((m.shape[0], n_tables), dtype=np.int64)
             for t in range(n_tables):
                 bits = (m @ planes[t].T) > 0  # [batch, n_planes]
@@ -196,9 +307,10 @@ def lsh_topk(
 ) -> DataFrame:
     """Sign-LSH ANN: candidates share (table, bucket) in >=1 of
     n_tables; exact cosine rescoring + top-k. Recall is tuned by
-    (n_planes down, n_tables up) like the reference's nprobe."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+    (n_planes down, n_tables up) like the reference's nprobe.
+
+    dim is optional: the bucket UDF reads it from the data per batch
+    (no driver-side .first() job during plan construction)."""
     udf = hyperplane_bucket_udf(dim, n_planes, n_tables, seed)
 
     def keyed(df: DataFrame, idn: str, vn: str) -> DataFrame:

@@ -38,18 +38,29 @@ def _local_checkpoint(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-def make_parquet_checkpointer(scratch_dir: str):
+def make_parquet_checkpointer(scratch_dir: str, keep_last: int = 2):
     """Per-iteration checkpointer backed by scratch parquet. Preferred
     over localCheckpoint: measured on this host, the local block store
     burns ~100x CPU per row for these tables, and on a real cluster a
-    durable per-iteration table is what lets a killed CC loop resume."""
+    durable per-iteration table is what lets a killed CC loop resume.
+
+    Only the last ``keep_last`` iteration tables are retained — once
+    iteration N is durably written, N - keep_last can no longer be an
+    input to anything, so it's deleted (previously every iteration
+    accumulated for the life of the store/scratch dir)."""
+    import shutil
+
     counter = {"n": 0}
 
     def ckpt(df: DataFrame) -> DataFrame:
         counter["n"] += 1
         path = f"{scratch_dir}/cc_iter_{counter['n']}"
         df.write.mode("overwrite").parquet(path)
-        return df.sparkSession.read.parquet(path)
+        out = df.sparkSession.read.parquet(path)
+        stale = counter["n"] - keep_last
+        if stale >= 1:
+            shutil.rmtree(f"{scratch_dir}/cc_iter_{stale}", ignore_errors=True)
+        return out
 
     return ckpt
 

@@ -21,7 +21,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from blink_spark.functions import text
-from blink_spark.functions.minhash import minhash_signature_udf
 from blink_spark.functions.similarity import array_cosine, token_set_jaccard
 from blink_spark.operators import blocking
 from blink_spark.operators.connected_components import assign_clusters, connected_components
@@ -66,37 +65,52 @@ def minhash_lsh_dup_pairs(
     pair_budget: int = 5_000_000,
 ) -> DataFrame:
     """Candidate pairs from MinHash-LSH banding, verified by exact
-    token-shingle Jaccard >= threshold. The production (xxhash64)
-    near-dup path: banding bounds the join, the exact Jaccard on the
-    shingle arrays removes LSH false positives."""
-    toks = text.tokenize(text_col)
-    sh = text.shingles(toks, shingle_k)
-    sig_udf = minhash_signature_udf(num_hashes, seed)
+    shingle-set Jaccard >= threshold. The production near-dup path:
+    banding bounds the join, the exact Jaccard on the shingle-hash
+    arrays removes LSH false positives.
+
+    One fused Arrow pass (tokenize -> numeric k-gram shingles ->
+    MinHash -> numeric band keys, group folded in) computes everything
+    per doc; the table then spills ONCE to scratch parquet before
+    feeding blocking and both verify-join sides. Measured here,
+    localCheckpoint burned ~100x CPU/row and JVM-regex shingling did
+    not scale across local task threads — this is the same kernel +
+    parquet-boundary design as the flagship pipeline's s1."""
+    from blink_spark.functions.minhash import content_signature_features_udf
+    from blink_spark.functions.similarity import presorted_jaccard_udf
+    from blink_spark.io.scratch import spill_scratch
+
+    feat_udf = content_signature_features_udf(
+        num_hashes,
+        seed,
+        shingle_k=shingle_k,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        return_shingles=True,
+    )
+    grp = F.col(group_col) if group_col else F.lit("all")
     base = df.select(
         F.col(id_col).alias("file_id"),
-        (F.col(group_col) if group_col else F.lit("all")).alias("lang"),
-        F.array_distinct(sh).alias("shingles"),
-    ).withColumn("minhash", sig_udf(text.token_hashes(F.col("shingles"), distinct=False)))
-    # signatures feed blocking AND both sides of the verify join —
-    # checkpoint once instead of recomputing the UDF three times
-    base = base.localCheckpoint(eager=True)
-    blocks = blocking.salt_hot_blocks(
-        blocking.lsh_blocks(base, "file_id", "lang", "minhash", bands, rows_per_band),
+        feat_udf(F.col(text_col), grp).alias("ft"),
+    ).select(
+        "file_id",
+        F.col("ft.bands").alias("bands"),
+        F.col("ft.su").alias("su"),
+    )
+    base, _ = spill_scratch(base, "minhash_sig")
+    blocks = blocking.salt_hot_blocks_numeric(
+        base.select("file_id", F.explode("bands").alias("block_key")),
         "file_id",
         pair_budget,
     )
     pairs = candidate_pairs(blocks, "file_id")
-    feats = base.select("file_id", "shingles")
-    fa = feats.select(F.col("file_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    fb = feats.select(F.col("file_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    fa = base.select(F.col("file_id").alias("id_a"), F.col("su").alias("su_a"))
+    fb = base.select(F.col("file_id").alias("id_b"), F.col("su").alias("su_b"))
+    jac = presorted_jaccard_udf()(F.col("su_a"), F.col("su_b"))
     return (
         pairs.join(fa, "id_a")
         .join(fb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            qround(token_set_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
-        )
+        .select("id_a", "id_b", qround(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= jaccard_threshold)
     )
 
@@ -146,22 +160,64 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     block_col: str | None = None,
+    method: str = "lsh",
+    n_planes: int = 12,
+    n_tables: int = 6,
+    seed: int = 42,
 ) -> DataFrame:
-    """Pairs with cosine >= threshold. Brute self-join when no block
-    column; at scale pass a coarse bucket (e.g. an LSH sign-bucket or
-    IVF cell from operators.ann) as block_col."""
-    cols = [F.col(id_col), F.col(vec_col)]
+    """Pairs with exact cosine >= threshold.
+
+    DEFAULT (method="lsh"): sign-LSH bucket blocking — candidates must
+    share a (table, bucket) key in >= 1 of n_tables random-hyperplane
+    tables, then exact-cosine verify. Bucket equi-join, never an
+    all-pairs product: the 100-TB shape. Recall is tunable via
+    (n_planes down, n_tables up) and is high for near-dup thresholds
+    (the regime this operator is for) — see the pytest recall floor.
+
+    method="exact": the O(n^2) brute-force verifier/oracle path (the
+    DuckDB-twin query uses it); pairs every partition with every other
+    via a shuffle-replicated nested loop — correct at any size, but
+    quadratic by definition. Keep it for verification corpora only.
+
+    block_col: use a precomputed coarse key (e.g. an IVF cell from
+    operators.ann) instead of either of the above.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *([F.col(block_col)] if block_col else []),
+    )
     if block_col:
-        cols.append(F.col(block_col))
-    base = df.select(*cols)
-    key = [block_col] if block_col else []
-    a = base.select(
-        *key, F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
-    )
-    b = base.select(
-        *key, F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
-    )
-    joined = a.join(b, key) if key else a.crossJoin(b)
+        key = [block_col]
+        a = base.select(*key, F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+        b = base.select(*key, F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+        joined = a.join(b, key)
+    elif method == "exact":
+        a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+        b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+        joined = a.hint("shuffle_replicate_nl").crossJoin(b)
+    elif method == "lsh":
+        from blink_spark.operators.ann import hyperplane_bucket_udf
+
+        udf = hyperplane_bucket_udf(
+            n_planes=n_planes, n_tables=n_tables, seed=seed
+        )
+        keyed = base.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.posexplode(udf(F.col(vec_col))).alias("table_id", "bucket"),
+        )
+        a = keyed.select(
+            "table_id", "bucket",
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+        )
+        b = keyed.select(
+            "table_id", "bucket",
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+        )
+        joined = a.join(b, ["table_id", "bucket"])
+    else:
+        raise ValueError(f"unknown method: {method!r} (lsh|exact)")
     return (
         joined.where(F.col("id_a") < F.col("id_b"))
         .select(

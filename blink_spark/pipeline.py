@@ -235,22 +235,42 @@ class ERPipeline:
         localCheckpoint and the columnar cache burn far more CPU than
         a parquet round-trip for these shapes, and parquet is the same
         mechanism the durable store uses anyway."""
-        res = ERResult()
-        if store is None:
-            import tempfile
+        from blink_spark.io import scratch as _scratch
 
-            scratch_dir = scratch_dir or tempfile.mkdtemp(prefix="blink_scratch_")
+        res = ERResult()
+        if store is None and scratch_dir is None:
+            # registered for cleanup at interpreter exit (bench loops
+            # previously leaked one mkdtemp per run)
+            scratch_dir = _scratch.scratch_dir()
 
         def spill(df: DataFrame, name: str) -> DataFrame:
-            path = f"{scratch_dir}/{name}"
-            df.write.mode("overwrite").parquet(path)
-            return df.sparkSession.read.parquet(path)
+            return _scratch.spill(df, f"{scratch_dir}/{name}")
+
+        # columns each stage's consumers depend on: a store written by
+        # an older layout short-circuits resume only if these exist,
+        # otherwise the stage silently recomputes (schema-versioning
+        # guard for resume-across-code-versions)
+        required = {
+            "s0_normalized": {"file_id", "sha256", "lang", "content"},
+            "s1_signatures": {"file_id", "bands", "tu", "tc", "tnorm", "sha256"},
+            "s1_blocks": {"block_key", "file_id"},
+            "s2_pairs": {"id_a", "id_b"},
+            "s2_scores": {"id_a", "id_b", "score"},
+            "s2_edges": {"id_a", "id_b", "score"},
+            "s3_clusters": {"file_id", "cluster_id"},
+        }
+
+        def _resumable(name: str) -> bool:
+            if store is None or not resume or not store.exists(name):
+                return False
+            have = set(store.read(name).columns)
+            return required.get(name, set()) <= have
 
         def stage(
             name: str, build, spill_no_store: bool = False
         ) -> DataFrame:
             t0 = time.time()
-            if store is not None and resume and store.exists(name):
+            if _resumable(name):
                 df = store.read(name)
                 res.resumed.append(name)
             else:

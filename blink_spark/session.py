@@ -13,6 +13,17 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """~40% of physical RAM, clamped to [2g, 48g]. A hardcoded big heap
+    risked OS-level OOM kills on smaller hosts; BLINK_SPARK_DRIVER_MEM
+    still overrides for tuned deployments."""
+    try:
+        total_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        total_gb = 16.0
+    return f"{max(2, min(48, int(total_gb * 0.4)))}g"
+
+
 def get_spark(
     app_name: str = "blink_spark",
     cores: int | str | None = None,
@@ -49,7 +60,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("BLINK_SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("BLINK_SPARK_DRIVER_MEM", _default_driver_mem()))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )

@@ -1,0 +1,91 @@
+"""Physical-plan regression gates for the 100-TB scale shapes.
+
+The two round-1 scale-killers were plan-shape defaults (corpus-side
+broadcast in self-search ANN; all-pairs crossJoin in embedding dedup).
+These tests pin the FIXED shapes by asserting on the physical plan
+string, so a future refactor can't silently reintroduce them.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from blink_spark.operators import ann, dedup
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(7)
+    cents = rng.standard_normal((10, 16)) * 3
+    rows = [
+        (i, (cents[i % 10] + rng.standard_normal(16) * 0.2).tolist())
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    df.count()
+    return df
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_self_search_never_broadcasts_corpus(emb):
+    """queries=None => the 'query side' IS the corpus; broadcasting it
+    OOMs every executor at scale. The auto policy must pick a
+    shuffle-replicated cartesian instead of any broadcast."""
+    plan = _plan(ann.cosine_topk(emb, k=3))
+    assert "BroadcastExchange" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" in plan, plan
+
+
+def test_bounded_queries_still_broadcast(emb):
+    """An explicit bounded query table keeps the broadcast baseline
+    shape (corpus streams once, never shuffles)."""
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    plan = _plan(ann.cosine_topk(emb, q, k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_embedding_dedup_default_is_blocked_join(emb):
+    """Default method='lsh' must be a bucket equi-join — no cartesian
+    product, no nested-loop broadcast of a full side."""
+    plan = _plan(dedup.embedding_near_dup_pairs(emb, threshold=0.9))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_embedding_dedup_lsh_recall_floor(emb):
+    """Near-dup regime (threshold 0.9 on clustered vectors): the LSH
+    default must recover >= 90% of the exact pairs."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(
+            emb, threshold=0.9, method="exact"
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    assert exact, "fixture produced no exact near-dup pairs"
+    assert got <= exact  # verify step means no false positives
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f} ({len(got)}/{len(exact)})"
+
+
+def test_ivf_join_assignment_matches_closure_recall(emb):
+    """assign='join' (broadcast centroid table, the nlist>>10^4 path)
+    must hit the same recall floor as the closure path."""
+    exact = ann.cosine_topk(emb, k=5)
+    a_join = ann.ivf_topk(emb, k=5, n_cells=8, nprobe=3, assign="join")
+    r = ann.recall_vs_exact(a_join, exact)
+    assert r >= 0.8, r
+
+
+def test_lsh_topk_infers_dim_without_driver_job(emb):
+    """dim=None must not trigger a .first() job at plan-construction
+    time; the UDF reads the dimension from each batch."""
+    out = ann.lsh_topk(emb, k=3, n_planes=6, n_tables=4)  # no dim passed
+    assert out.count() > 0
