@@ -313,6 +313,138 @@ FROM ranked WHERE rk <= 3
 """
 
 
+# =========================================================== entity linking
+#
+# Two-table mode (the reference's primary product, main_dense.py:
+# 96-148): documents with doc_id % 7 == 0 play the entity CATALOGUE
+# (7 is coprime with the source cycle, so every block holds entities),
+# the rest are mentions. Retrieval blocks on (lang, source); scoring
+# is the same three-kernel blend as er_pair_scores.
+
+def _link_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source",
+        F.substring("text", 1, 40).alias("head"),
+        btext.tokenize("text").alias("tokens"),
+    )
+    m = docs.where(F.col("doc_id") % 7 != 0).select(
+        "lang", "source", F.col("doc_id").alias("mention_id"),
+        F.col("head").alias("head_m"), F.col("tokens").alias("toks_m"),
+    )
+    e = docs.where(F.col("doc_id") % 7 == 0).select(
+        "lang", "source", F.col("doc_id").alias("entity_id"),
+        F.col("head").alias("head_e"), F.col("tokens").alias("toks_e"),
+    )
+    jw = qround(jaro_winkler_udf()(F.col("head_m"), F.col("head_e")), 6)
+    jac = qround(token_set_jaccard(F.col("toks_m"), F.col("toks_e")), 6)
+    cos = qround(tf_cosine_udf()(F.col("toks_m"), F.col("toks_e")), 6)
+    scored = (
+        m.join(e, ["lang", "source"])
+        .select(
+            "mention_id", "entity_id",
+            jw.alias("jw"), jac.alias("jaccard"), cos.alias("cosine"),
+        )
+        .withColumn(
+            "score",
+            qround(
+                F.lit(0.2) * F.col("jw")
+                + F.lit(0.4) * F.col("jaccard")
+                + F.lit(0.4) * F.col("cosine"),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("mention_id").orderBy(F.desc("score"), F.asc("entity_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def _link_topk_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve stage: top-3 catalogue candidates per mention (the
+    reference's per-mention recall_k entity fetch,
+    eval_cluster_linking.py:493-495)."""
+    return _link_scored(spark, sf_dir).where(F.col("rank") <= 3)
+
+
+def _link_sql(rank_pred: str) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, source, substr(text, 1, 40) AS head, {_TOKS} AS toks
+  FROM documents
+), p AS (
+  SELECT m.doc_id AS mention_id, e.doc_id AS entity_id,
+         (floor((jaro_winkler_similarity(m.head, e.head)) * 1000000.0 + 0.5) / 1000000.0) AS jw,
+         (floor(({_jaccard_sql('m.toks', 'e.toks')}) * 1000000.0 + 0.5) / 1000000.0) AS jaccard,
+         (floor(({_tf_cosine_sql('m.toks', 'e.toks')}) * 1000000.0 + 0.5) / 1000000.0) AS cosine
+  FROM d m JOIN d e ON m.lang = e.lang AND m.source = e.source
+  WHERE m.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
+), s AS (
+  SELECT *,
+         (floor((0.2 * jw + 0.4 * jaccard + 0.4 * cosine) * 1000000.0 + 0.5) / 1000000.0) AS score
+  FROM p
+), r AS (
+  SELECT mention_id, entity_id, jw, jaccard, cosine, score,
+         row_number() OVER (PARTITION BY mention_id
+                            ORDER BY score DESC, entity_id ASC) AS rank
+  FROM s
+)
+SELECT mention_id, entity_id, jw, jaccard, cosine, score, rank::BIGINT AS rank
+FROM r WHERE {rank_pred}
+"""
+
+
+def _link_best_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign stage argmax: each mention's single best catalogue
+    entity (analyzeClusters' per-cluster prediction collapses to this
+    when mention edges are off)."""
+    return (
+        _link_scored(spark, sf_dir)
+        .where(F.col("rank") == 1)
+        .select("mention_id", "entity_id", "score")
+    )
+
+
+_LINK_BEST_SQL = f"""
+SELECT mention_id, entity_id, score
+FROM ({_link_sql('rank = 1')})
+"""
+
+
+def _link_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full linking pipeline (blocking -> scoring -> joint graph ->
+    G4 entity-constrained partition): per-mention predicted catalogue
+    doc (rows-only: the greedy partition has no SQL twin; pytest
+    covers accuracy + the one-entity-per-cluster invariant)."""
+    from blink_spark.linking import LinkPipeline
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def to_files(d: DataFrame, prefix: str) -> DataFrame:
+        return d.select(
+            F.concat(F.lit(prefix), F.col("source")).alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+            F.substring(F.sha2(F.col("text"), 256), 1, 12).alias("commit"),
+            "lang",
+            F.col("text").alias("content"),
+            "doc_id",
+        )
+
+    men = to_files(docs.where(F.col("doc_id") % 7 != 0), "m/")
+    cat = to_files(docs.where(F.col("doc_id") % 7 == 0), "cat/")
+    fid = btext.stable_file_id("repo", "path", "commit")
+    men_map = men.select(fid.alias("file_id"), "doc_id")
+    cat_map = cat.select(fid.alias("pred_entity_id"), F.col("doc_id").alias("pred_entity_doc"))
+    cfg = ERConfig(bands=16, rows_per_band=4, num_hashes=64, shingle_k=3)
+    res = LinkPipeline(cfg, mention_knn=2).run(
+        men.drop("doc_id"), cat.drop("doc_id")
+    )
+    return (
+        res.tables["pred"]
+        .join(men_map, "file_id")
+        .join(F.broadcast(cat_map), "pred_entity_id", "left")
+        .select("doc_id", "pred_entity_doc")
+    )
+
+
 # ============================================================== dedup suite
 
 def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -853,6 +985,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_lsh_band_pairs": _er_lsh_band_pairs,
         "er_pair_scores": _scored_pairs,
         "er_topk_edges": _er_topk_edges,
+        # entity linking (two-table catalogue mode)
+        "link_topk_candidates": _link_topk_candidates,
+        "link_best_entity": _link_best_entity,
+        "link_clusters": _link_clusters,
         # dedup suite
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_simhash_fingerprints": _dedup_simhash_fp,
@@ -896,6 +1032,9 @@ def oracle_sql() -> dict[str, str]:
         "er_lsh_band_pairs": _er_lsh_band_pairs_sql(),
         "er_pair_scores": _SCORED_PAIRS_SQL,
         "er_topk_edges": _ER_TOPK_EDGES_SQL,
+        "link_topk_candidates": _link_sql("rank <= 3"),
+        "link_best_entity": _LINK_BEST_SQL,
+        # link_clusters: G4 greedy partition — rows-only
         "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
         "dedup_simhash_fingerprints": _DEDUP_SIMHASH_FP_SQL,
         "dedup_simhash_pairs": _DEDUP_SIMHASH_PAIRS_SQL,

@@ -129,6 +129,116 @@ def blocking_recall(blocks: DataFrame, gold: DataFrame, id_col: str = "file_id")
     }
 
 
+def linking_accuracy(
+    pred: DataFrame, gold: DataFrame, id_col: str = "file_id"
+) -> dict:
+    """A4: fraction of mentions whose predicted entity equals gold.
+    pred: (id, pred_entity_id — NULL = unlinked); gold: (id,
+    entity_id). Mirrors the reference's analyzeClusters accuracy
+    (/root/reference/blink/biencoder/eval_cluster_linking.py:151-237:
+    every mention in a cluster is predicted as the cluster's single
+    entity; unlinked counts as wrong). One aggregation job."""
+    j = pred.join(gold.select(F.col(id_col), "entity_id"), id_col)
+    row = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("pred_entity_id").isNotNull().cast("long")).alias("linked"),
+        F.sum(
+            (F.col("pred_entity_id") == F.col("entity_id")).cast("long")
+        ).alias("correct"),
+    ).collect()[0]
+    n = int(row["n"] or 0)
+    correct = int(row["correct"] or 0)
+    return {
+        "n_mentions": n,
+        "n_linked": int(row["linked"] or 0),
+        "n_correct": correct,
+        "accuracy": (correct / n) if n else 1.0,
+    }
+
+
+def nmi_ari_py(labels_a: list, labels_b: list) -> tuple[float, float]:
+    """Pure-Python/numpy NMI (arithmetic normalization, the sklearn
+    default the reference calls in eval_entity_discovery.py:96-139)
+    and ARI from two label lists — the oracle for nmi_ari and the
+    kernel it shares."""
+    import numpy as np
+
+    assert len(labels_a) == len(labels_b)
+    n = len(labels_a)
+    if n == 0:
+        return 1.0, 1.0
+    pairs: dict[tuple, int] = {}
+    ca: dict = {}
+    cb: dict = {}
+    for x, y in zip(labels_a, labels_b):
+        pairs[(x, y)] = pairs.get((x, y), 0) + 1
+        ca[x] = ca.get(x, 0) + 1
+        cb[y] = cb.get(y, 0) + 1
+    return _nmi_ari_from_contingency(
+        np.asarray(list(pairs.values()), dtype=np.float64),
+        np.asarray([ca[x] for x, _ in pairs], dtype=np.float64),
+        np.asarray([cb[y] for _, y in pairs], dtype=np.float64),
+        np.asarray(list(ca.values()), dtype=np.float64),
+        np.asarray(list(cb.values()), dtype=np.float64),
+        float(n),
+    )
+
+
+def _nmi_ari_from_contingency(nij, ai_of_cell, bj_of_cell, a, b, n):
+    """NMI + ARI from sparse contingency cells. nij: count per
+    non-empty (cluster, entity) cell; ai_of_cell/bj_of_cell: the
+    marginals aligned per cell; a/b: the marginal vectors."""
+    import numpy as np
+
+    if len(a) == 1 and len(b) == 1:
+        return 1.0, 1.0
+    mi = float(
+        ((nij / n) * np.log((nij * n) / (ai_of_cell * bj_of_cell))).sum()
+    )
+    h_a = float(-((a / n) * np.log(a / n)).sum())
+    h_b = float(-((b / n) * np.log(b / n)).sum())
+    denom = (h_a + h_b) / 2.0
+    nmi = (mi / denom) if denom > 0 else 0.0
+    c2 = lambda v: (v * (v - 1) / 2.0).sum()
+    idx = float(c2(nij))
+    sa, sb = float(c2(a)), float(c2(b))
+    expected = sa * sb / (n * (n - 1) / 2.0)
+    maximum = (sa + sb) / 2.0
+    ari = 1.0 if maximum == expected else (idx - expected) / (maximum - expected)
+    return nmi, ari
+
+
+def nmi_ari(clusters: DataFrame, gold: DataFrame, id_col: str = "file_id") -> dict:
+    """A5: NMI + ARI between predicted clusters and gold entities
+    (reference: sklearn calls in eval_entity_discovery.py:96-139 over
+    driver-resident label arrays). Here only the SPARSE contingency
+    (non-empty (cluster, entity) cells + marginals) is collected —
+    bounded by the number of co-occurrence cells, not rows."""
+    import numpy as np
+
+    j = clusters.join(gold.select(F.col(id_col), "entity_id"), id_col)
+    cells = (
+        j.groupBy("cluster_id", "entity_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not cells:
+        return {"nmi": 1.0, "ari": 1.0, "n": 0}
+    a: dict = {}
+    b: dict = {}
+    for r in cells:
+        a[r["cluster_id"]] = a.get(r["cluster_id"], 0) + r["n"]
+        b[r["entity_id"]] = b.get(r["entity_id"], 0) + r["n"]
+    n = float(sum(a.values()))
+    nij = np.asarray([r["n"] for r in cells], dtype=np.float64)
+    ai = np.asarray([a[r["cluster_id"]] for r in cells], dtype=np.float64)
+    bj = np.asarray([b[r["entity_id"]] for r in cells], dtype=np.float64)
+    av = np.asarray(list(a.values()), dtype=np.float64)
+    bv = np.asarray(list(b.values()), dtype=np.float64)
+    nmi, ari = _nmi_ari_from_contingency(nij, ai, bj, av, bv, n)
+    return {"nmi": nmi, "ari": ari, "n": int(n)}
+
+
 def cluster_size_histogram(clusters: DataFrame) -> DataFrame:
     """Component-size distribution (reference's size>=2 filter + counts,
     eval_cluster_linking.py:139-146)."""

@@ -76,6 +76,12 @@ class ERConfig:
     # stage 3
     cc_algorithm: str = "alternating"
     cc_max_iterations: int = 50
+    # "cc": plain connected components (pure dedup). "entity": G4
+    # entity-constrained partition — requires run(entities=catalogue);
+    # the opt-in that makes top_k safe (each cluster anchors to exactly
+    # one entity, so per-node edge pruning can no longer fracture a
+    # family; reference special_partition.pyx:288-356)
+    partition: str = "cc"
 
 
 @dataclass
@@ -218,6 +224,37 @@ class ERPipeline:
         )
         return assign_clusters(s0.select("file_id"), comp, "file_id")
 
+    def _s3_entity_partition(
+        self, scores: DataFrame, mentions: DataFrame, entities: DataFrame
+    ) -> DataFrame:
+        """G4 stage-3: per-mention best-entity edge + top-k mention
+        edges, resolved by the entity-constrained partition; cluster_id
+        is the anchoring entity's file_id (mentions that reach no
+        entity stay singletons). See blink_spark.linking for the
+        full two-table API."""
+        from blink_spark.linking import LinkPipeline, flag_entity_endpoints
+        from blink_spark.operators.linking import entity_constrained_partition
+
+        ent_ids = self.s0_normalize(entities).select("file_id").distinct()
+        men_ids = self.s0_normalize(mentions).select("file_id").distinct()
+        flagged = flag_entity_endpoints(
+            scores.select("id_a", "id_b", "score"), ent_ids
+        )
+        lp = LinkPipeline(self.cfg, mention_knn=self.cfg.top_k or 4)
+        part = entity_constrained_partition(lp.joint_graph(flagged))
+        pred = men_ids.join(
+            part.where(~F.col("is_entity")).select(
+                F.col("node_id").alias("file_id"),
+                F.col("entity_id").alias("pred_entity_id"),
+            ),
+            "file_id",
+            "left",
+        )
+        return pred.select(
+            "file_id",
+            F.coalesce("pred_entity_id", F.col("file_id")).alias("cluster_id"),
+        )
+
     # ------------------------------------------------------------- run
     def run(
         self,
@@ -226,6 +263,7 @@ class ERPipeline:
         resume: bool = True,
         until: str | None = None,
         scratch_dir: str | None = None,
+        entities: DataFrame | None = None,
     ) -> ERResult:
         """Run all stages. With a store, each stage persists to its
         table and an existing table short-circuits recompute (the
@@ -237,6 +275,18 @@ class ERPipeline:
         mechanism the durable store uses anyway."""
         from blink_spark.io import scratch as _scratch
 
+        use_entity = self.cfg.partition == "entity"
+        if use_entity and entities is None:
+            raise ValueError(
+                "partition='entity' requires run(entities=<catalogue DataFrame>)"
+            )
+        mentions_only = files
+        if use_entity:
+            # catalogue rows flow through the same s0-s2 stages; s3
+            # splits edges by endpoint kind and anchors clusters
+            files = files.unionByName(
+                entities.select(*mentions_only.columns)
+            )
         res = ERResult()
         if store is None and scratch_dir is None:
             # registered for cleanup at interpreter exit (bench loops
@@ -301,9 +351,15 @@ class ERPipeline:
 
         cc_dir = store.path("_cc_scratch") if store is not None else f"{scratch_dir}/cc"
         cc_ckpt = make_parquet_checkpointer(cc_dir)
-        clusters = stage(
-            "s3_clusters", lambda: self.s3_clusters(edges, s0, cc_stats, cc_ckpt)
-        )
+        if use_entity:
+            clusters = stage(
+                "s3_clusters",
+                lambda: self._s3_entity_partition(scores, mentions_only, entities),
+            )
+        else:
+            clusters = stage(
+                "s3_clusters", lambda: self.s3_clusters(edges, s0, cc_stats, cc_ckpt)
+            )
         if cc_stats.iterations and store is not None:
             store.write_metrics(
                 "s3_cc", {"algorithm": cc_stats.algorithm, "iterations": cc_stats.iterations}
