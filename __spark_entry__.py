@@ -709,6 +709,32 @@ FROM documents,
 """
 
 
+def _mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode path: each doc becomes a genuine PPM image (dims
+    from doc_id, pixels from the utf-8 text bytes); the pure-numpy
+    decoder parses the container and the oracle reproduces every
+    decoded field — header dims AND pixel-content checksum — from
+    (doc_id, text) arithmetic in SQL."""
+    assets = multimodal.ppm_assets_from_documents(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_metadata(assets).select(
+        "asset_id", "fmt", "width", "height", "n_pixels", "content_sum"
+    )
+
+
+_MM_DECODE_SQL = """
+SELECT doc_id AS asset_id, 'ppm' AS fmt,
+       (4 + doc_id % 13)::INT AS width,
+       (3 + doc_id % 7)::INT AS height,
+       ((4 + doc_id % 13) * (3 + doc_id % 7))::BIGINT AS n_pixels,
+       coalesce(list_sum(list_transform(
+           generate_series(1, least((4 + doc_id % 13) * (3 + doc_id % 7) * 3,
+                                    octet_length(encode(text)))),
+           i -> ('0x' || substr(hex(encode(text)), 2 * i - 1, 2))::BIGINT)),
+         0)::BIGINT AS content_sum
+FROM documents
+"""
+
+
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = multimodal.assets_from_documents(_t(spark, sf_dir, "documents"))
     return multimodal.extract_features(assets).select(
@@ -1009,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_asset_metadata": _mm_metadata,
         "mm_frame_sample": _mm_frames,
         "mm_byte_features": _mm_features,
+        "mm_decode": _mm_decode,
         # relational operator suite (SURVEY §2.2, 2.5-2.8, 2.10)
         "rel_scan_filter_project": _rel_scan_filter_project,
         "rel_agg_q1": _rel_agg_q1,
@@ -1048,6 +1075,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _TEXT_FINGERPRINT_SQL,
         "mm_asset_metadata": _MM_METADATA_SQL,
         "mm_frame_sample": _MM_FRAMES_SQL,
+        "mm_decode": _MM_DECODE_SQL,
         # mm_byte_features: mapInPandas — rows-only
         "rel_scan_filter_project": _REL_SCAN_SQL,
         "rel_agg_q1": _REL_AGG_Q1_SQL,

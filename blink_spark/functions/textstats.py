@@ -25,14 +25,30 @@ from blink_spark.functions.rounding import qround
 
 # Per-language stopword lists for the n-gram/stopword language-ID
 # heuristic. Deterministic and tiny by design (broadcast as literals
-# into codegen — no dictionary table needed).
+# into codegen — no dictionary table needed). ASCII-only tokens on
+# purpose: the shared tokenizer splits on non-[a-z0-9_], so accented
+# function words never survive tokenization in either engine — using
+# them would silently zero those languages' ratios.
 STOPWORDS: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
     "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
     "de": ("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"),
     "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "une", "que"),
+    "it": ("di", "che", "il", "per", "non", "si", "con", "del", "della", "sono"),
+    "pt": ("de", "que", "o", "do", "da", "em", "um", "para", "com", "uma"),
+    "nl": ("de", "het", "een", "van", "dat", "op", "te", "niet", "zijn", "voor"),
+    "sv": ("och", "att", "det", "som", "av", "den", "till", "med", "har", "inte"),
+    "da": ("og", "det", "at", "den", "til", "er", "som", "med", "af", "ikke"),
+    "pl": ("nie", "to", "na", "co", "jest", "do", "tak", "jak", "ale", "ma"),
+    "tr": ("bir", "ve", "bu", "ne", "ben", "ama", "gibi", "daha", "kadar", "sonra"),
+    "id": ("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "akan"),
+    "cs": ("je", "se", "na", "to", "ze", "ale", "jako", "byl", "jsem", "tak"),
+    "ro": ("la", "cu", "un", "o", "pentru", "este", "nu", "mai", "din", "sunt"),
 }
-_LANG_ORDER = ("en", "es", "de", "fr")
+_LANG_ORDER = (
+    "en", "es", "de", "fr", "it", "pt", "nl", "sv", "da", "pl", "tr", "id",
+    "cs", "ro",
+)
 
 
 # ------------------------------------------------------------------ tokens

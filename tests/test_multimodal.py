@@ -1,5 +1,5 @@
 """Multimodal plumbing: schema, payload integrity, deterministic fake
-features, frame-sampling shape, decode stub."""
+features, frame-sampling shape, real PPM/BMP/WAV decode round-trips."""
 
 import hashlib
 
@@ -56,6 +56,77 @@ def test_sample_frames_shape(assets):
     assert offs == [0, 1024, 2048, 3072, 4096]
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
-        mm.decode_real(b"bytes", "image/png")
+def test_decode_unknown_magic_raises():
+    with pytest.raises(ValueError, match="unknown magic"):
+        mm.decode_real(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+
+
+def _rand_pixels(seed, h, w):
+    return np.random.RandomState(seed).randint(0, 256, (h, w, 3)).astype(np.uint8)
+
+
+def test_ppm_round_trip():
+    px = _rand_pixels(1, 7, 11)
+    d = mm.decode_real(mm.encode_ppm(px))
+    assert d["fmt"] == "ppm" and d["width"] == 11 and d["height"] == 7
+    assert np.array_equal(d["data"], px)
+
+
+def test_ppm_with_comment_header():
+    px = _rand_pixels(4, 2, 3)
+    payload = mm.encode_ppm(px)
+    commented = b"P6\n# a comment line\n3 2\n255\n" + payload.split(b"255\n", 1)[1]
+    d = mm.decode_real(commented)
+    assert np.array_equal(d["data"], px)
+
+
+def test_bmp_round_trip_including_row_padding():
+    # w=5: 15-byte rows pad to 16 — exercises the 4-byte alignment
+    px = _rand_pixels(2, 4, 5)
+    d = mm.decode_real(mm.encode_bmp(px))
+    assert d["fmt"] == "bmp" and d["width"] == 5 and d["height"] == 4
+    assert np.array_equal(d["data"], px)
+
+
+def test_wav_round_trip():
+    rng = np.random.RandomState(3)
+    samples = rng.randint(-32768, 32767, (1000, 2)).astype(np.int16)
+    d = mm.decode_real(mm.encode_wav(samples, sample_rate=22050))
+    assert d["fmt"] == "wav"
+    assert d["sample_rate"] == 22050 and d["channels"] == 2
+    assert d["n_samples"] == 1000
+    assert np.array_equal(d["data"], samples)
+
+
+def test_extract_features_real_decode(spark):
+    px = _rand_pixels(5, 6, 6)
+    rows = [
+        (1, "image/x-portable-pixmap", bytearray(mm.encode_ppm(px)), None),
+        (2, "image/bmp", bytearray(mm.encode_bmp(px)), None),
+        (3, "audio/wav", bytearray(mm.encode_wav(
+            np.arange(-500, 500, dtype=np.int16))), None),
+    ]
+    df = spark.createDataFrame(rows, mm.ASSET_SCHEMA)
+    feats = {r["asset_id"]: r["features"]
+             for r in mm.extract_features(df, use_real_decode=True).collect()}
+    # ppm and bmp carry identical pixels -> identical decoded features
+    assert feats[1] == feats[2]
+    assert abs(sum(feats[3]) - 1.0) < 1e-12
+    exp = mm.decoded_features(mm.decode_real(mm.encode_ppm(px))).tolist()
+    assert feats[1] == exp
+
+
+def test_decode_metadata_df(spark):
+    docs = spark.createDataFrame(
+        [(0, "hello world " * 20), (5, ""), (9, "abc")],
+        "doc_id long, text string",
+    )
+    assets = mm.ppm_assets_from_documents(docs)
+    meta = {r["asset_id"]: r for r in mm.decode_metadata(assets).collect()}
+    for did in (0, 5, 9):
+        w, h = 4 + did % 13, 3 + did % 7
+        assert meta[did]["width"] == w and meta[did]["height"] == h
+        assert meta[did]["n_pixels"] == w * h
+        raw = (dict([(0, "hello world " * 20), (5, ""), (9, "abc")])[did]
+               ).encode()[: w * h * 3]
+        assert meta[did]["content_sum"] == sum(raw)
