@@ -2,17 +2,28 @@
 
 No real cluster exists in this sandbox, so the rule's two-cluster-size
 criterion is evidenced by running the SAME job at local[N] and
-local[4N] on the SAME deterministic input and reporting throughput at
-both plus scaling efficiency = (T_N / T_4N) / 4.
+local[4N] on the SAME input table and reporting throughput at both
+plus scaling efficiency = (T_N / T_4N) / 4.
 
-Default levels are 2 vs 8: this host's memory bandwidth saturates at
-~8 JVM task threads (measured: identical shuffle stages burn ~6x more
-CPU-seconds at 32 threads than at 8), so 8->32 measures the machine's
-memory bus, not the engine's scalability. 2->8 sits below the knee and
-isolates what the rule actually asks about — whether the PLAN scales
-with parallelism (no serial stages, no skewed tasks, no driver
-bottleneck). On a real cluster N->4N adds memory bandwidth with the
-executors, which is exactly what a single box cannot emulate.
+Method notes (both matter for an honest number):
+
+* Levels default to 2 vs 8. This host's memory bandwidth saturates at
+  ~8 JVM task threads (measured: identical shuffle stages burn ~6x
+  more CPU-seconds at 32 threads than at 8), so 8->32 measures the
+  machine's memory bus, not the engine's plan. 2->8 sits below the
+  knee and isolates what the rule asks about: whether the PLAN scales
+  (no serial stages, no skew, no driver bottleneck). On a real
+  cluster, N->4N executors adds memory bandwidth with the cores —
+  exactly what one box cannot emulate.
+* The corpus is generated ONCE (at full parallelism) to a shared
+  parquet table; each level reads the same files — datagen is not
+  part of the job being measured, and the input is byte-identical.
+* The job must be COMPUTE-DOMINATED to say anything about scaling:
+  a local run carries ~15-20s of size-independent latency (stage
+  scheduling, Python worker pool spin-up, CC convergence checks)
+  that a 100-TB run amortizes to nothing. SCALE_ENTITIES controls
+  the size; the parent also reports the Amdahl decomposition
+  (serial_sec, parallel_sec) fitted from the two points.
 
 Each level runs in its own subprocess (a JVM can't change master
 in-process). The child also emits a checksum of the (file_id,
@@ -20,8 +31,8 @@ cluster_id) result so the parent can assert bit-identical clusters at
 both parallelism levels — the determinism requirement behind the
 scaling claim.
 
-Usage:  python scripts/scaling_bench.py            # parent: runs 8 and 32
-        python scripts/scaling_bench.py --child N  # one level, prints JSON
+Usage:  python scripts/scaling_bench.py                  # both levels
+        python scripts/scaling_bench.py --child N --input DIR
 """
 
 from __future__ import annotations
@@ -29,26 +40,42 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_ENTITIES = int(os.environ.get("SCALE_ENTITIES", "4000"))
-HOT_FAMILY = int(os.environ.get("SCALE_HOT_FAMILY", "300"))
+N_ENTITIES = int(os.environ.get("SCALE_ENTITIES", "24000"))
+HOT_FAMILY = int(os.environ.get("SCALE_HOT_FAMILY", "600"))
 
 
-def run_child(cores: int) -> dict:
+def generate_input(path: str) -> int:
+    """Write the deterministic corpus once at full parallelism."""
+    from blink_spark.corpus import generate_files
+    from blink_spark.session import get_spark
+
+    spark = get_spark("scaling-datagen")
+    files = generate_files(
+        spark, n_entities=N_ENTITIES, hot_family_size=HOT_FAMILY,
+        partitions=max(32, N_ENTITIES // 2000),
+    )
+    files.write.mode("overwrite").parquet(path)
+    n = spark.read.parquet(path).count()
+    spark.stop()
+    return n
+
+
+def run_child(cores: int, input_path: str) -> dict:
     from pyspark.sql import functions as F
 
-    from blink_spark.corpus import generate_files
     from blink_spark.pipeline import ERConfig, ERPipeline
     from blink_spark.session import get_spark
 
     spark = get_spark(f"scaling-{cores}", cores=cores)
-    files = generate_files(spark, n_entities=N_ENTITIES, hot_family_size=HOT_FAMILY)
-    files = files.localCheckpoint(eager=True)
+    files = spark.read.parquet(input_path)
     n_files = files.count()
 
     pipe = ERPipeline(ERConfig())
@@ -73,41 +100,67 @@ def run_child(cores: int) -> dict:
     }
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--child", type=int, default=None)
-    ap.add_argument("--levels", type=int, nargs=2, default=(2, 8))
-    args = ap.parse_args()
-
-    if args.child is not None:
-        print(json.dumps(run_child(args.child)))
-        return 0
-
-    results = {}
-    for cores in args.levels:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", str(cores)],
-            capture_output=True, text=True, timeout=3600,
-        )
-        line = out.stdout.strip().splitlines()[-1]
-        results[cores] = json.loads(line)
-        print(json.dumps(results[cores]))
-
-    n, n4 = args.levels
+def summarize(levels: tuple[int, int], results: dict) -> dict:
+    n, n4 = levels
     t_n, t_4n = results[n]["wall_sec"], results[n4]["wall_sec"]
     factor = n4 / n
     eff = (t_n / t_4n) / factor
+    # Amdahl fit from the two points: wall(c) = serial + parallel/c
+    par = (t_n - t_4n) / (1.0 / n - 1.0 / n4)
+    ser = max(0.0, t_n - par / n)
     identical = results[n]["cluster_checksum"] == results[n4]["cluster_checksum"]
-    summary = {
-        "levels": args.levels,
+    return {
+        "levels": list(levels),
         "speedup": round(t_n / t_4n, 3),
         "scaling_efficiency": round(eff, 3),
         "clusters_identical": identical,
         "n_files": results[n]["n_files"],
         "scored_pairs": results[n]["scored_pairs"],
+        "pairs_per_sec": {
+            str(n): results[n]["pairs_per_sec"],
+            str(n4): results[n4]["pairs_per_sec"],
+        },
+        "amdahl_serial_sec": round(ser, 2),
+        "amdahl_parallel_sec": round(par, 2),
     }
-    print(json.dumps(summary))
-    return 0 if (identical and eff >= 0.8) else 1
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", type=int, default=None)
+    ap.add_argument("--input", default=None)
+    ap.add_argument("--levels", type=int, nargs=2, default=(2, 8))
+    ap.add_argument("--keep-input", default=None,
+                    help="reuse/retain this corpus dir instead of a temp one")
+    args = ap.parse_args()
+
+    if args.child is not None:
+        print(json.dumps(run_child(args.child, args.input)))
+        return 0
+
+    input_path = args.keep_input or tempfile.mkdtemp(prefix="scale_corpus_")
+    cleanup = args.keep_input is None
+    try:
+        if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
+            n = generate_input(input_path)
+            print(json.dumps({"generated_files": n, "input": input_path}))
+        results = {}
+        for cores in args.levels:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--child", str(cores), "--input", input_path],
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            results[cores] = json.loads(line)
+            print(json.dumps(results[cores]))
+        summary = summarize(tuple(args.levels), results)
+        print(json.dumps(summary))
+        return 0 if (summary["clusters_identical"]
+                     and summary["scaling_efficiency"] >= 0.8) else 1
+    finally:
+        if cleanup:
+            shutil.rmtree(input_path, ignore_errors=True)
 
 
 if __name__ == "__main__":

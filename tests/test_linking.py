@@ -282,12 +282,21 @@ def test_nmi_ari_known_values():
 
 # ------------------------------------------------------------ k-ladder
 
-def test_k_ladder_argmax(spark, link_fixture):
+def test_k_ladder_argmax(spark, link_fixture, tmp_path):
+    from blink_spark.io.tables import StageStore
+
     mentions, catalogue, gold, _ = link_fixture
+    store = StageStore(spark, str(tmp_path / "ladder"))
     results, best = k_ladder(
-        mentions, catalogue, gold, ks=(0, 2, 4), cfg=CFG
+        mentions, catalogue, gold, ks=(0, 2, 4), cfg=CFG, store=store
     )
     rows = {r["k"]: r["accuracy"] for r in results.collect()}
     assert set(rows) == {0, 2, 4}
     assert best["accuracy"] == max(rows.values())
     assert all(0.0 <= v <= 1.0 for v in rows.values())
+    # the sweep persists a durable results table (T6) + best config (A8)
+    stored = {r["k"]: r["accuracy"] for r in store.read("k_ladder_results").collect()}
+    assert stored == rows
+    assert store.read_metrics().where(
+        F.col("stage") == "k_ladder_best"
+    ).count() == 1
