@@ -999,6 +999,83 @@ SELECT size, count(*)::BIGINT AS n_groups FROM (
 """
 
 
+def _graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-lang chain+skip similarity graph over
+    documents: chain edges (rn, rn+1) at weight 0.9 - (rn%7)/100 and
+    skip edges (rn, rn+2) at weight 0.5 + (rn%5)/100. Every chain
+    weight (>= 0.84) beats every skip weight (<= 0.54), so by the
+    cycle property the maximum spanning forest is EXACTLY the chain —
+    an analytically-known answer a SQL oracle can state directly."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("lang", "doc_id")
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("lang").orderBy("doc_id"))
+        )
+    )
+    wl = W.partitionBy("lang").orderBy("doc_id")
+    chain = d.select(
+        F.col("doc_id").alias("src"),
+        F.lead("doc_id", 1).over(wl).alias("dst"),
+        qround(F.lit(0.9) - (F.col("rn") % 7).cast("double") * F.lit(0.01)).alias(
+            "score"
+        ),
+    ).where(F.col("dst").isNotNull())
+    skip = d.select(
+        F.col("doc_id").alias("src"),
+        F.lead("doc_id", 2).over(wl).alias("dst"),
+        qround(F.lit(0.5) + (F.col("rn") % 5).cast("double") * F.lit(0.01)).alias(
+            "score"
+        ),
+    ).where(F.col("dst").isNotNull())
+    return chain.unionByName(skip)
+
+
+def _graph_mst_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 maximum-spanning-forest pre-filter
+    (special_partition.pyx:391-414) as a distributed operator: the
+    per-component Kruskal (CC -> applyInPandas) over the chain+skip
+    graph. The oracle states the known answer (chain edges); pytest
+    separately proves Kruskal == distributed Borůvka on random
+    graphs."""
+    from blink_spark.operators.mst import max_spanning_forest_per_component
+
+    return max_spanning_forest_per_component(_graph_edges(spark, sf_dir))
+
+
+_GRAPH_MST_SQL = """
+WITH d AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id AS src,
+       lead(doc_id, 1) OVER (PARTITION BY lang ORDER BY doc_id) AS dst,
+       (floor((0.9 - CAST(rn % 7 AS DOUBLE) * 0.01) * 1000000.0 + 0.5)
+          / 1000000.0) AS score
+FROM d QUALIFY dst IS NOT NULL
+"""
+
+
+def _rel_kmeans2_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 threshold selection, KMeans-style
+    (crossencoder/eval_cluster_linking.py:211-215, 233-235): exact 1-D
+    2-means split of events.value per event_type, computed entirely in
+    window functions over exact DECIMAL prefix sums (see
+    operators/thresholds.py for the cross-engine float discipline)."""
+    from blink_spark.operators.thresholds import exact_2means_split
+
+    return exact_2means_split(
+        _t(spark, sf_dir, "events"), "value", by="event_type"
+    )
+
+
+def _rel_kmeans2_sql() -> str:
+    from blink_spark.operators.thresholds import exact_2means_split_sql
+
+    return exact_2means_split_sql("events", "value", by="event_type")
+
+
 # ================================================================ contract
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1015,6 +1092,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_topk_candidates": _link_topk_candidates,
         "link_best_entity": _link_best_entity,
         "link_clusters": _link_clusters,
+        # graph ops (G3) + threshold selection (A7)
+        "graph_mst_forest": _graph_mst_forest,
+        "rel_kmeans2_threshold": _rel_kmeans2_threshold,
         # dedup suite
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_simhash_fingerprints": _dedup_simhash_fp,
@@ -1062,6 +1142,8 @@ def oracle_sql() -> dict[str, str]:
         "link_topk_candidates": _link_sql("rank <= 3"),
         "link_best_entity": _LINK_BEST_SQL,
         # link_clusters: G4 greedy partition — rows-only
+        "graph_mst_forest": _GRAPH_MST_SQL,
+        "rel_kmeans2_threshold": _rel_kmeans2_sql(),
         "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
         "dedup_simhash_fingerprints": _DEDUP_SIMHASH_FP_SQL,
         "dedup_simhash_pairs": _DEDUP_SIMHASH_PAIRS_SQL,

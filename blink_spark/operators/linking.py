@@ -134,7 +134,7 @@ def assign_entities_py(
     return assign
 
 
-def _partition_one_component(pdf: pd.DataFrame) -> pd.DataFrame:
+def _partition_one_component(pdf: pd.DataFrame, undirected: bool = False) -> pd.DataFrame:
     nodes: dict[int, bool] = {}
     for col_id, col_flag in (("src", "src_is_entity"), ("dst", "dst_is_entity")):
         for nid, flag in zip(pdf[col_id], pdf[col_flag]):
@@ -144,6 +144,17 @@ def _partition_one_component(pdf: pd.DataFrame) -> pd.DataFrame:
         (int(s), int(d), float(w))
         for s, d, w in zip(pdf["src"], pdf["dst"], pdf["score"])
     ]
+    if undirected:
+        # G3 (reference undirected mode): filter to the max spanning
+        # forest, then restore BOTH directions before the greedy
+        # (special_partition.pyx:391-414 — scipy MST on negated
+        # weights + "Add the reverse edges").
+        from blink_spark.operators.mst import max_spanning_forest_py
+
+        forest = max_spanning_forest_py(all_edges)
+        all_edges = [(s, d, w) for s, d, w in forest] + [
+            (d, s, w) for s, d, w in forest
+        ]
     if entities:
         ok = entity_reachable_nodes([(s, d) for s, d, _ in all_edges], entities)
         live = [
@@ -159,7 +170,9 @@ def _partition_one_component(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["node_id", "is_entity", "entity_id"])
 
 
-def entity_constrained_partition(edges: DataFrame) -> DataFrame:
+def entity_constrained_partition(
+    edges: DataFrame, undirected: bool = False
+) -> DataFrame:
     """Distributed G4: edges(src, dst, score, src_is_entity,
     dst_is_entity) -> (node_id, is_entity, entity_id) for every node
     in the graph. entity_id is NULL for mentions that cannot reach any
@@ -169,6 +182,11 @@ def entity_constrained_partition(edges: DataFrame) -> DataFrame:
     CC finds the weak components (O(log n) distributed rounds); the
     per-component greedy runs as one applyInPandas group per
     component, all components in parallel.
+
+    ``undirected=True`` is the reference's undirected graph mode:
+    each component is first G3-filtered to its maximum spanning
+    forest, then symmetrized, then greedily pruned — the exact
+    pipeline of special_partition.pyx:391-414.
     """
     sym = edges.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
     comp = connected_components(sym)
@@ -176,5 +194,6 @@ def entity_constrained_partition(edges: DataFrame) -> DataFrame:
         comp.select(F.col("id").alias("src"), "component"), "src"
     )
     return e.groupBy("component").applyInPandas(
-        lambda pdf: _partition_one_component(pdf), schema=PARTITION_SCHEMA
+        lambda pdf: _partition_one_component(pdf, undirected=undirected),
+        schema=PARTITION_SCHEMA,
     )
