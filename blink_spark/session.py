@@ -35,9 +35,21 @@ def get_spark(
     ``cores``: int N -> ``local[N]``; "*" -> all; None -> respect an
     existing session / SPARK_GRAFT_CPUS / all cores.
     """
+    submitted_master = None
+    if cores is None and "SPARK_GRAFT_CPUS" not in os.environ:
+        # Under spark-submit --master ..., the master arrives as a
+        # JVM system property; overriding it with local[N] here would
+        # silently turn a cluster submit into a single-box run. Only
+        # pick local[N] ourselves when nothing was submitted.
+        try:
+            from pyspark import SparkConf
+
+            submitted_master = dict(SparkConf().getAll()).get("spark.master")
+        except Exception:
+            submitted_master = None
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = f"local[{cores}]"
+    master = submitted_master or f"local[{cores}]"
     if shuffle_partitions is None:
         # = cores, not a multiple: Python-UDF stages pay a per-task
         # worker cost, and local-mode wall is task-latency-sensitive;
