@@ -598,6 +598,16 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_topk(emb, _ann_queries(emb), k=5, n_planes=8, n_tables=6, dim=64)
 
 
+def _ann_nnd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 graph-based ANN (NN-descent, Dong et al. WWW'11) — the
+    distributed stand-in for the reference's HNSW index family;
+    self-search kNN graph over the embeddings table. Approximate, so
+    rows-only at the driver; tests/test_ann.py gates recall >= 0.9 vs
+    exact and bit-determinism across partitionings."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.nn_descent_topk(emb, k=5, iterations=3)
+
+
 # ============================================================ text analysis
 
 def _text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1106,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_nnd_topk": _ann_nnd_topk,
         # text analysis
         "text_token_stats": _text_token_stats,
         "text_langid": _text_langid,

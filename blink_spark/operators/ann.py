@@ -334,6 +334,113 @@ def lsh_topk(
     return _topk_window(scored, k)
 
 
+def nn_descent_topk(
+    corpus: DataFrame,
+    k: int = 10,
+    iterations: int = 4,
+    sample_k: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    early_stop: bool = True,
+) -> DataFrame:
+    """E7 graph-based ANN — the role HNSW plays in the reference's
+    retrieval ladder (faiss_indexer.py's graph index family), built
+    from the public NN-descent algorithm (Dong, Moses & Li, WWW 2011)
+    as pure DataFrame rounds. Where HNSW's insertion loop is
+    inherently sequential (each insert greedily walks the graph built
+    so far — the wrong shape for a 1000-executor cluster), NN-descent
+    is embarrassingly parallel: 'a neighbor of a neighbor is likely a
+    neighbor' applied as a self-join, round after round.
+
+    Each round: (1) symmetrize the current kNN graph; (2) generate
+    candidates by joining neighbor lists through the shared middle
+    node (degree capped at sample_k — the paper's rho*k sampling — so
+    the join fans out at most sample_k^2 per node); (3) exact-cosine
+    score the new pairs only (anti-join against current edges);
+    (4) merge + keep per-node top-k by window. Stops early when a
+    round improves nothing. Every step shuffles on node id — no
+    driver-side graph, no sequential insert, skew bounded by the
+    degree cap.
+
+    Init seeds the graph with sign-LSH buckets (good starting recall,
+    one pass); NN-descent then repairs what bucketing missed.
+    Self-search semantics (query set == corpus), like the reference's
+    within-corpus kNN during clustering."""
+    if sample_k is None:
+        sample_k = max(4, k // 2)
+    base = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec"))
+    edges = lsh_topk(
+        corpus, k=k, id_col=id_col, vec_col=vec_col, seed=seed
+    ).select("query_id", "neighbor_id", "cosine")
+    edges = edges.localCheckpoint(eager=True)  # narrow 3-col table
+
+    for _ in range(iterations):
+        # (1) symmetrized neighborhood, degree-capped for generation
+        sym = edges.select("query_id", "neighbor_id").unionByName(
+            edges.select(
+                F.col("neighbor_id").alias("query_id"),
+                F.col("query_id").alias("neighbor_id"),
+            )
+        ).dropDuplicates(["query_id", "neighbor_id"])
+        wcap = W.partitionBy("query_id").orderBy(
+            F.xxhash64("query_id", "neighbor_id", F.lit(seed)).asc()
+        )
+        capped = (
+            sym.withColumn("srk", F.row_number().over(wcap))
+            .where(F.col("srk") <= sample_k)
+            .select("query_id", "neighbor_id")
+        )
+        # (2) neighbor-of-neighbor through the shared middle node
+        cand = (
+            capped.select(F.col("neighbor_id").alias("mid"), F.col("query_id"))
+            .join(
+                capped.select(
+                    F.col("query_id").alias("mid"),
+                    F.col("neighbor_id").alias("cand_id"),
+                ),
+                "mid",
+            )
+            .where(F.col("query_id") != F.col("cand_id"))
+            .select("query_id", F.col("cand_id").alias("neighbor_id"))
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        # (3) score only pairs not already in the graph
+        fresh = cand.join(
+            edges.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        scored_new = (
+            fresh.join(base.select(F.col("nid").alias("query_id"),
+                                   F.col("vec").alias("q_vec")), "query_id")
+            .join(base.select(F.col("nid").alias("neighbor_id"),
+                              F.col("vec").alias("c_vec")), "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                qround(array_cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+            )
+        )
+        # (4) merge and re-take top-k
+        merged = _topk_window(
+            edges.unionByName(scored_new), k
+        ).select("query_id", "neighbor_id", "cosine")
+        merged = merged.localCheckpoint(eager=True)
+        if early_stop:
+            no_change = merged.join(
+                edges.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_anti",
+            ).isEmpty()
+            edges = merged
+            if no_change:
+                break
+        else:
+            edges = merged
+    return _topk_window(edges, k)
+
+
 def recall_vs_exact(approx: DataFrame, exact: DataFrame) -> float:
     """Fraction of exact top-k pairs recovered by the approximate
     search (the reference's recall@k,

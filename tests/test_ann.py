@@ -73,3 +73,21 @@ def test_ivf_deterministic_across_partitioning(spark, emb):
     b = sorted(map(tuple, ann.ivf_topk(emb.repartition(11), k=3, n_cells=8, nprobe=2)
                    .select("query_id", "neighbor_id", "rank").collect()))
     assert a == b
+
+
+def test_nn_descent_improves_on_lsh_init(spark, emb):
+    exact = ann.cosine_topk(emb, k=5)
+    init = ann.lsh_topk(emb, k=5)
+    nnd = ann.nn_descent_topk(emb, k=5, iterations=4)
+    r_init = ann.recall_vs_exact(init, exact)
+    r_nnd = ann.recall_vs_exact(nnd, exact)
+    assert r_nnd >= r_init, (r_nnd, r_init)
+    assert r_nnd >= 0.9, r_nnd
+
+
+def test_nn_descent_deterministic_across_partitioning(spark, emb):
+    a = ann.nn_descent_topk(emb, k=5, iterations=2)
+    b = ann.nn_descent_topk(emb.repartition(7), k=5, iterations=2)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
