@@ -127,3 +127,121 @@ def match_stream_against_catalogue(
         .where(F.col("jaccard") >= jaccard_threshold)
         .dropDuplicates(["file_id", "index_id"])
     )
+
+
+# ---------------------------------------------- custom stateful operator
+
+ASSIGN_OUTPUT_SCHEMA = (
+    "block_key bigint, file_id bigint, rep_id bigint, "
+    "jaccard double, is_new_rep boolean"
+)
+ASSIGN_STATE_SCHEMA = "rep_ids array<bigint>, rep_sus array<binary>"
+
+
+def incremental_assign_stream(
+    stream_sigs: DataFrame,
+    jaccard_threshold: float = 0.5,
+    max_reps_per_block: int = 64,
+    state_ttl_ms: int = 6 * 3600 * 1000,
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    incremental cluster assignment of ARRIVING files.
+
+    Batch clustering re-runs CC over all edges; a stream cannot. This
+    operator keeps, per LSH band key, the signatures of up to
+    ``max_reps_per_block`` cluster REPRESENTATIVES seen so far. Each
+    arriving file is exact-Jaccard-verified against its block's
+    representatives: first match >= threshold assigns the file to that
+    representative's cluster (first-arrival-wins, like the reference's
+    dedup direction); no match promotes the file to a new
+    representative. State is bounded two ways — the rep cap (overflow
+    files are emitted as their own singleton cluster, never stored)
+    and a processing-time TTL that expires idle blocks.
+
+    A file appears under several band keys; downstream, its cluster is
+    the MIN rep_id over its bands (same min-convention the batch CC
+    uses), e.g. in a foreachBatch aggregate. Rows within a micro-batch
+    are processed in file_id order so replays are deterministic.
+    """
+    import numpy as np
+    import pandas as pd
+
+    thr = float(jaccard_threshold)
+    cap = int(max_reps_per_block)
+    ttl = int(state_ttl_ms)
+
+    def assign(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        block_key = key[0]
+        if state.exists:
+            rep_ids, rep_sus = state.get
+            rep_ids = list(rep_ids)
+            reps = [np.frombuffer(b, dtype=np.int64) for b in rep_sus]
+        else:
+            rep_ids, reps = [], []
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("file_id", kind="mergesort")
+            for fid, su in zip(pdf["file_id"], pdf["su"]):
+                mine = np.asarray(su, dtype=np.int64)
+                best_rep, best_j = None, 0.0
+                for rid, rsu in zip(rep_ids, reps):
+                    inter = np.intersect1d(mine, rsu, assume_unique=True).size
+                    union = mine.size + rsu.size - inter
+                    j = (inter / union) if union else 1.0
+                    if j >= thr and (best_rep is None or j > best_j):
+                        best_rep, best_j = rid, j
+                if best_rep is not None:
+                    out.append((block_key, int(fid), int(best_rep), float(best_j), False))
+                elif len(rep_ids) < cap:
+                    rep_ids.append(int(fid))
+                    reps.append(mine)
+                    out.append((block_key, int(fid), int(fid), 1.0, True))
+                else:  # state full: emit as singleton, do not store
+                    out.append((block_key, int(fid), int(fid), 1.0, False))
+        state.update((rep_ids, [r.tobytes() for r in reps]))
+        state.setTimeoutDuration(ttl)
+        yield pd.DataFrame(
+            out,
+            columns=["block_key", "file_id", "rep_id", "jaccard", "is_new_rep"],
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = stream_sigs.select(
+        "file_id", "su", F.explode("bands").alias("block_key")
+    )
+    return keyed.groupBy("block_key").applyInPandasWithState(
+        assign,
+        outputStructType=ASSIGN_OUTPUT_SCHEMA,
+        stateStructType=ASSIGN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def resolve_assignments(assignments: DataFrame) -> DataFrame:
+    """Batch-side resolution of per-band assignments (use in
+    foreachBatch / on the sink table): a file's cluster is its
+    best-scoring NON-SELF representative across bands (ties: smaller
+    rep_id); files that matched nothing anywhere are their own
+    cluster. Returns (file_id, cluster_id)."""
+    from pyspark.sql import Window as W
+
+    matches = assignments.where(F.col("rep_id") != F.col("file_id"))
+    w = W.partitionBy("file_id").orderBy(F.desc("jaccard"), F.asc("rep_id"))
+    best = (
+        matches.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("file_id", F.col("rep_id").alias("cluster_id"))
+    )
+    return (
+        assignments.select("file_id")
+        .distinct()
+        .join(best, "file_id", "left")
+        .select(
+            "file_id", F.coalesce("cluster_id", F.col("file_id")).alias("cluster_id")
+        )
+    )

@@ -132,3 +132,65 @@ def test_stream_static_lsh_match(spark, tmp_path):
     # ... and the novel ones match nothing
     assert not (novel & matched)
     assert all(r["jaccard"] >= 0.9 for r in got)
+
+
+def test_incremental_assign_stateful(spark, tmp_path):
+    """applyInPandasWithState: duplicates arriving in a LATER
+    micro-batch are assigned to the first batch's representative via
+    streaming state; novel files become new representatives."""
+    src, ckpt, out_dir = tmp_path / "in2", tmp_path / "ckpt2", tmp_path / "out2"
+    src.mkdir()
+
+    base = "def parse(x):\n    return [int(t) for t in x.split(',')]\n" * 4
+    other = "class Widget:\n    def render(self):\n        return '<div/>'\n" * 4
+
+    def run_once():
+        stream = spark.readStream.schema(FILES_SCHEMA).parquet(str(src))
+        sigs = bs.signature_stream(bs.normalize_stream(stream, CFG), CFG)
+        out = bs.incremental_assign_stream(sigs, jaccard_threshold=0.5)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    _write_batch(spark, src, [_row(1, base), _row(2, other)], 2)
+    run_once()
+    # batch 2: near-dup of file 1 (one token tweaked) + a fresh file
+    _write_batch(spark, src, [
+        _row(3, base.replace("parse", "parse2", 1)),
+        _row(4, "SELECT a, b FROM t WHERE x > 0 ORDER BY a\n" * 4),
+    ], 2)
+    run_once()
+
+    from blink_spark.functions import text as tx
+
+    ids = {
+        i: r
+        for i, r in enumerate(
+            spark.createDataFrame(
+                [_row(1, base), _row(2, other),
+                 _row(3, base.replace("parse", "parse2", 1)),
+                 _row(4, "SELECT a, b FROM t WHERE x > 0 ORDER BY a\n" * 4)],
+                FILES_SCHEMA,
+            )
+            .select(tx.stable_file_id("repo", "path", "commit").alias("fid"))
+            .collect(),
+            start=1,
+        )
+    }
+    res = spark.read.parquet(str(out_dir))
+    # per-file final cluster: best non-self match across bands
+    final = {
+        r["file_id"]: r["cluster_id"]
+        for r in bs.resolve_assignments(res).collect()
+    }
+    f1, f2, f3, f4 = (ids[i]["fid"] for i in (1, 2, 3, 4))
+    assert final[f3] == final[f1]          # later near-dup joins file 1's cluster
+    assert final[f2] not in (final[f1],)   # distinct content stays separate
+    assert final[f4] == f4                 # novel file is its own representative
+    assert final[f1] == f1                 # first arrival is the representative
