@@ -89,3 +89,38 @@ def test_lsh_topk_infers_dim_without_driver_job(emb):
     time; the UDF reads the dimension from each batch."""
     out = ann.lsh_topk(emb, k=3, n_planes=6, n_tables=4)  # no dim passed
     assert out.count() > 0
+
+
+def test_nn_descent_plan_has_no_cartesian(emb):
+    """NN-descent rounds are equi-joins on node ids — any cartesian or
+    full-side nested-loop broadcast means the candidate generation
+    regressed to all-pairs."""
+    out = ann.nn_descent_topk(emb, k=3, iterations=1, early_stop=False)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_mst_boruvka_plan_has_no_cartesian(spark):
+    from blink_spark.operators.mst import max_spanning_forest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1, 0.5 + (i % 3) * 0.1) for i in range(40)],
+        "src long, dst long, score double",
+    )
+    plan = _plan(max_spanning_forest(edges, max_rounds=1))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_2means_split_is_single_scan_windows(spark):
+    """The distributed exact 2-means is one histogram aggregate plus
+    windows — no join of any kind should appear."""
+    from blink_spark.operators.thresholds import exact_2means_split
+
+    df = spark.createDataFrame(
+        [(float(i % 17) / 17,) for i in range(200)], "score double"
+    )
+    plan = _plan(exact_2means_split(df, "score"))
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
