@@ -54,27 +54,30 @@ def kmeans1d(values: np.ndarray, weights: np.ndarray, k: int) -> np.ndarray:
     cs = np.concatenate(([0.0], np.cumsum(w * v)))
     cq = np.concatenate(([0.0], np.cumsum(w * v * v)))
 
-    def sse(i: int, j: int) -> float:  # values[i..j] inclusive, 0-based
+    def seg_sse(i: np.ndarray, j: int) -> np.ndarray:
+        """SSE of values[i..j] for a VECTOR of segment starts i."""
         ww = cw[j + 1] - cw[i]
         ss = cs[j + 1] - cs[i]
         qq = cq[j + 1] - cq[i]
-        return max(qq - ss * ss / ww, 0.0)
+        return np.maximum(qq - ss * ss / ww, 0.0)
 
     INF = float("inf")
-    # dp[m][j] = min SSE splitting v[0..j] into m+1 clusters
+    # dp[m][j] = min SSE splitting v[0..j] into m+1 clusters; the
+    # candidate scan over i is numpy-vectorized, so the DP is O(k·n²)
+    # FLOPs, not O(k·n²) Python iterations — n <= 8·10^3 distinct
+    # histogram values (threshold_candidates' cap) runs in seconds.
     dp = np.full((k, n), INF)
     back = np.zeros((k, n), dtype=np.int64)
-    for j in range(n):
-        dp[0][j] = sse(0, j)
+    dp[0] = np.maximum(
+        (cq[1:] - cq[0]) - (cs[1:] - cs[0]) ** 2 / (cw[1:] - cw[0]), 0.0
+    )
     for m in range(1, k):
         for j in range(m, n):
-            best, bi = INF, m
-            for i in range(m, j + 1):
-                c = dp[m - 1][i - 1] + sse(i, j)
-                if c < best:  # strict: ties keep the SMALLEST i (deterministic)
-                    best, bi = c, i
-            dp[m][j] = best
-            back[m][j] = bi
+            i = np.arange(m, j + 1)
+            cost = dp[m - 1][i - 1] + seg_sse(i, j)
+            bi = int(np.argmin(cost))  # argmin keeps the SMALLEST i on ties
+            dp[m][j] = cost[bi]
+            back[m][j] = m + bi
     # walk back segment boundaries
     centers = []
     j = n - 1
@@ -102,7 +105,7 @@ def threshold_candidates(
         return [0.0]
     values = np.array([r["v"] for r in hist])
     weights = np.array([float(r["w"]) for r in hist])
-    if len(values) > 200_000:  # keep the DP driver-bounded at any scale
+    if len(values) > 8_000:  # keep the O(k·n²) vectorized DP to seconds
         coarse = max(2, ndigits - 2)
         return threshold_candidates(df, col, k, ndigits=coarse)
     centers = kmeans1d(values, weights, k)
