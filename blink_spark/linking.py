@@ -186,14 +186,19 @@ class LinkPipeline:
         store: StageStore | None = None,
         resume: bool = True,
         train_labels: DataFrame | None = None,
+        undirected: bool = False,
     ) -> LinkResult:
+        """``undirected`` selects the reference's second graph_mode
+        (crossencoder/eval_cluster_linking.py:232 sweeps
+        ['directed', 'undirected']): each component is G3-filtered to
+        its max spanning forest and symmetrized before the greedy."""
         res = LinkResult()
         flagged, men_ids, ent_ids = self.score_joint(
             mentions, catalogue, store=store, resume=resume
         )
         cands = self.entity_candidates(flagged)
         graph = self.joint_graph(flagged, train_labels=train_labels)
-        part = entity_constrained_partition(graph)
+        part = entity_constrained_partition(graph, undirected=undirected)
         # every mention gets a row; no-candidate mentions stay NULL
         pred = men_ids.join(
             part.where(~F.col("is_entity")).select(

@@ -300,3 +300,25 @@ def test_k_ladder_argmax(spark, link_fixture, tmp_path):
     assert store.read_metrics().where(
         F.col("stage") == "k_ladder_best"
     ).count() == 1
+
+
+def test_linking_undirected_graph_mode(spark, link_fixture):
+    """graph_mode='undirected' (G3 MST pre-filter + symmetrize before
+    the greedy, crossencoder/eval_cluster_linking.py:232): same
+    accuracy gate and one-entity-per-cluster invariant as directed."""
+    mentions, catalogue, gold, _ = link_fixture
+    res = LinkPipeline(CFG, mention_knn=4).run(
+        mentions, catalogue, undirected=True
+    )
+    acc = beval.linking_accuracy(res.tables["pred"], gold)
+    assert acc["accuracy"] >= 0.98, acc
+    part = res.tables["partition"]
+    # each non-null cluster contains exactly one entity
+    ents = (
+        part.where(F.col("is_entity"))
+        .groupBy("entity_id")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert ents == 0
