@@ -85,6 +85,8 @@ def main() -> int:
         "dedup_minhash_lsh",
         "dedup_simhash_pairs",
         "ann_cosine_topk",
+        "ann_nnd_topk",
+        "graph_mst_forest",
         "text_quality",
         "mm_byte_features",
     ]

@@ -89,6 +89,7 @@ def run_child(cores: int, input_path: str) -> dict:
         ).alias("h")
     ).collect()[0]["h"]
     wall = time.time() - t0
+    stage_secs = {k: round(v, 2) for k, v in res.timings.items()}
     return {
         "cores": cores,
         "n_files": n_files,
@@ -97,6 +98,10 @@ def run_child(cores: int, input_path: str) -> dict:
         "pairs_per_sec": round(n_scored / wall, 1),
         "files_per_sec": round(n_files / wall, 1),
         "cluster_checksum": str(checksum),
+        # materializing stages only (lazy stages roll into the next
+        # spill); 'post' = CC + result counts/checksum after s2
+        "stage_secs": stage_secs,
+        "post_sec": round(wall - sum(stage_secs.values()), 2),
     }
 
 
