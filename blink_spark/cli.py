@@ -48,7 +48,67 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["alternating", "hashmin"])
     p.add_argument("--eval-gold", action="store_true",
                    help="synthetic corpus only: print pairwise P/R/F1")
+    # ---- entity-linking mode (two-table: mentions vs catalogue) ----
+    p.add_argument("--catalogue", default=None,
+                   help="switch to LINKING mode: parquet table in the "
+                        "5-col files shape, or a reference-style .jsonl "
+                        "entity dictionary")
+    p.add_argument("--synthetic-catalogue", action="store_true",
+                   help="with --synthetic-entities: derive a canonical "
+                        "per-entity catalogue from the generated corpus")
+    p.add_argument("--mention-knn", type=int, default=4)
+    p.add_argument("--recall-k", type=int, default=8)
+    p.add_argument("--graph-mode", default="directed",
+                   choices=["directed", "undirected"])
     return p
+
+
+def run_linking(spark, args, cfg, files, store) -> dict:
+    """LINKING mode: retrieve -> rerank -> entity-constrained assign
+    (the reference's primary product, main_dense.py / analyzeClusters)."""
+    from pyspark.sql import functions as F
+
+    from blink_spark.eval import linking_accuracy
+    from blink_spark.io.catalogue import catalogue_as_files, load_catalogue_jsonl
+    from blink_spark.linking import LinkPipeline
+
+    gold = None
+    if args.synthetic_catalogue:
+        from blink_spark.corpus import synthetic_catalogue
+
+        cat6 = synthetic_catalogue(files)
+        catalogue = cat6.drop("entity_id")
+        if args.eval_gold:
+            fid = text.stable_file_id("repo", "path", "commit")
+            ment_gold = files.select(fid.alias("file_id"), "entity_id")
+            cat_ids = cat6.select(fid.alias("cat_fid"), "entity_id")
+            gold = ment_gold.join(cat_ids, "entity_id").select(
+                "file_id", F.col("cat_fid").alias("entity_id")
+            )
+    elif args.catalogue.endswith(".jsonl"):
+        catalogue = catalogue_as_files(load_catalogue_jsonl(spark, args.catalogue))
+    else:
+        catalogue = spark.read.format(args.input_format).load(args.catalogue)
+
+    mentions = files.select("repo", "path", "commit", "lang", "content")
+    pipe = LinkPipeline(cfg, recall_k=args.recall_k, mention_knn=args.mention_knn)
+    res = pipe.run(
+        mentions,
+        catalogue,
+        store=store,
+        resume=not args.no_resume,
+        undirected=args.graph_mode == "undirected",
+    )
+    pred = res.tables["pred"]
+    out = {
+        "mode": "link",
+        "graph_mode": args.graph_mode,
+        "n_mentions": pred.count(),
+        "n_linked": pred.where(F.col("pred_entity_id").isNotNull()).count(),
+    }
+    if gold is not None:
+        out["linking"] = linking_accuracy(pred, gold)
+    return out
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -75,6 +135,9 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     store = StageStore(spark, args.output)
+    if args.catalogue or args.synthetic_catalogue:
+        print(json.dumps(run_linking(spark, args, cfg, files, store), default=str))
+        return 0
     pipe = ERPipeline(cfg)
     until = {"block": "block", "score": "score"}.get(args.stage)
     res = pipe.run(files, store=store, resume=not args.no_resume, until=until)

@@ -21,6 +21,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 FILES_SCHEMA = (
     "repo string, path string, commit string, lang string, "
@@ -141,3 +142,21 @@ def generate_files(
             )
 
     return ids.mapInPandas(gen, schema=FILES_SCHEMA)
+
+
+def synthetic_catalogue(files: DataFrame) -> DataFrame:
+    """One canonical catalogue row per entity from a generate_files()
+    corpus: the first 'base' variant, re-homed into a 'catalog' repo
+    namespace (mirrors the reference's entity dictionary — one
+    document per KB entity). Returns the 5-col pipeline shape plus
+    entity_id for gold construction."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("entity_id").orderBy("commit")
+    return (
+        files.where(F.col("variant") == "base")
+        .withColumn("repo", F.lit("catalog"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("repo", "path", "commit", "lang", "content", "entity_id")
+    )
