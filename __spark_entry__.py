@@ -1025,6 +1025,7 @@ def _graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wl = W.partitionBy("lang").orderBy("doc_id")
     chain = d.select(
+        "lang",
         F.col("doc_id").alias("src"),
         F.lead("doc_id", 1).over(wl).alias("dst"),
         qround(F.lit(0.9) - (F.col("rn") % 7).cast("double") * F.lit(0.01)).alias(
@@ -1032,6 +1033,7 @@ def _graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).where(F.col("dst").isNotNull())
     skip = d.select(
+        "lang",
         F.col("doc_id").alias("src"),
         F.lead("doc_id", 2).over(wl).alias("dst"),
         qround(F.lit(0.5) + (F.col("rn") % 5).cast("double") * F.lit(0.01)).alias(
@@ -1044,13 +1046,17 @@ def _graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _graph_mst_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3 maximum-spanning-forest pre-filter
     (special_partition.pyx:391-414) as a distributed operator: the
-    per-component Kruskal (CC -> applyInPandas) over the chain+skip
-    graph. The oracle states the known answer (chain edges); pytest
-    separately proves Kruskal == distributed Borůvka on random
-    graphs."""
+    per-component Kruskal (applyInPandas) over the chain+skip graph —
+    grouped by the KNOWN block column (lang bounds every component by
+    construction, so the distributed-CC prepass is skipped: the
+    blocked-ER fast path). The oracle states the known answer (chain
+    edges); pytest separately proves Kruskal == distributed Borůvka on
+    random graphs and group_col == CC-grouped output."""
     from blink_spark.operators.mst import max_spanning_forest_per_component
 
-    return max_spanning_forest_per_component(_graph_edges(spark, sf_dir))
+    return max_spanning_forest_per_component(
+        _graph_edges(spark, sf_dir), group_col="lang"
+    )
 
 
 _GRAPH_MST_SQL = """

@@ -86,10 +86,23 @@ def _forest_one_component(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(kept, columns=["src", "dst", "score"])
 
 
-def max_spanning_forest_per_component(edges: DataFrame) -> DataFrame:
+def max_spanning_forest_per_component(
+    edges: DataFrame, group_col: str | None = None
+) -> DataFrame:
     """Per-component Kruskal via applyInPandas — the exact-parity path
     mirroring the reference's single-process scipy call. edges(src,
-    dst, score) -> forest edges (src, dst, score), src < dst."""
+    dst, score) -> forest edges (src, dst, score), src < dst.
+
+    ``group_col`` skips the distributed CC when the caller already
+    KNOWS a column that bounds components (e.g. the blocking key in a
+    blocked ER graph — no edge crosses blocks by construction). One
+    groupBy instead of O(log n) CC rounds; per-group Kruskal output is
+    identical because Kruskal never links across groups that share no
+    edges."""
+    if group_col is not None:
+        return edges.groupBy(group_col).applyInPandas(
+            lambda pdf: _forest_one_component(pdf), schema=FOREST_SCHEMA
+        )
     comp = connected_components(
         edges.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
     )

@@ -124,3 +124,25 @@ def test_undirected_partition_one_entity_per_cluster(spark):
     # every cluster has exactly one entity
     ents = part.where(F.col("is_entity")).groupBy("entity_id").count().collect()
     assert all(r["count"] == 1 for r in ents)
+
+
+def test_group_col_fast_path_equals_cc_path(spark):
+    rng = random.Random(31)
+    edges = []
+    for g, base in (("a", 0), ("b", 100)):
+        edges += [
+            (g, s + base, d + base, w)
+            for s, d, w in random_graph(rng, n=12, m=22)
+        ]
+    df = spark.createDataFrame(edges, "grp string, src long, dst long, score double")
+    fast = {
+        (r["src"], r["dst"], r["score"])
+        for r in max_spanning_forest_per_component(df, group_col="grp").collect()
+    }
+    slow = {
+        (r["src"], r["dst"], r["score"])
+        for r in max_spanning_forest_per_component(
+            df.drop("grp")
+        ).collect()
+    }
+    assert fast == slow
