@@ -136,7 +136,9 @@ def main() -> int:
             proc = subprocess.run(
                 [sys.executable,
                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "scripts", "scaling_bench.py")],
+                              "scripts", "scaling_bench.py"),
+                 "--levels", "1", "4"],  # same pair as the headline;
+                 # 8 threads sits at the single-box memory knee
                 capture_output=True, text=True, timeout=1200, env=env,
             )
             smoke = json.loads(proc.stdout.strip().splitlines()[-1])
