@@ -91,20 +91,33 @@ def run_linking(spark, args, cfg, files, store) -> dict:
         catalogue = spark.read.format(args.input_format).load(args.catalogue)
 
     mentions = files.select("repo", "path", "commit", "lang", "content")
+    # linking gets its OWN stage-table namespace: the shared s0..s2
+    # table names would otherwise resume a prior DEDUP run's scored
+    # pairs (computed without the catalogue rows) and silently link
+    # nothing — resume is existence+schema-based, not input-based.
+    from blink_spark.io.tables import StageStore
+
+    link_store = StageStore(store.spark, store.path("link_stages"), fmt=store.fmt)
     pipe = LinkPipeline(cfg, recall_k=args.recall_k, mention_knn=args.mention_knn)
     res = pipe.run(
         mentions,
         catalogue,
-        store=store,
+        store=link_store,
         resume=not args.no_resume,
         undirected=args.graph_mode == "undirected",
     )
-    pred = res.tables["pred"]
+    # LinkPipeline.run already wrote link_pred; read it back so the
+    # counts below scan the parquet instead of re-running the CC + G4
+    # partition (pred is otherwise a lazy plan executed once per job)
+    pred = link_store.read("link_pred")
+    counts = pred.agg(
+        F.count(F.lit(1)).alias("n"), F.count("pred_entity_id").alias("linked")
+    ).collect()[0]
     out = {
         "mode": "link",
         "graph_mode": args.graph_mode,
-        "n_mentions": pred.count(),
-        "n_linked": pred.where(F.col("pred_entity_id").isNotNull()).count(),
+        "n_mentions": int(counts["n"]),
+        "n_linked": int(counts["linked"]),
     }
     if gold is not None:
         out["linking"] = linking_accuracy(pred, gold)
@@ -143,6 +156,7 @@ def main(argv: list[str] | None = None) -> int:
     res = pipe.run(files, store=store, resume=not args.no_resume, until=until)
 
     out = {
+        "master": spark.sparkContext.master,
         "stages": res.timings,
         "resumed": res.resumed,
         "cc": res.metrics.get("cc", {}),

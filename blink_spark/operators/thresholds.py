@@ -107,7 +107,13 @@ def threshold_candidates(
     weights = np.array([float(r["w"]) for r in hist])
     if len(values) > 8_000:  # keep the O(k·n²) vectorized DP to seconds
         coarse = max(2, ndigits - 2)
-        return threshold_candidates(df, col, k, ndigits=coarse)
+        if coarse < ndigits:
+            return threshold_candidates(df, col, k, ndigits=coarse)
+        # can't round coarser (wide-range values, e.g. spread over
+        # 1e6 at 2 decimals): fold the tail into the 8k heaviest bins
+        # instead of recursing forever on the same histogram
+        keep = np.argsort(-weights, kind="stable")[:8_000]
+        values, weights = values[keep], weights[keep]
     centers = kmeans1d(values, weights, k)
     return [0.0] + [qround_py(float(c), ndigits) for c in centers]
 

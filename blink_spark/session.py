@@ -35,21 +35,23 @@ def get_spark(
     ``cores``: int N -> ``local[N]``; "*" -> all; None -> respect an
     existing session / SPARK_GRAFT_CPUS / all cores.
     """
-    submitted_master = None
-    if cores is None and "SPARK_GRAFT_CPUS" not in os.environ:
-        # Under spark-submit --master ..., the master arrives as a
-        # JVM system property; overriding it with local[N] here would
-        # silently turn a cluster submit into a single-box run. Only
-        # pick local[N] ourselves when nothing was submitted.
-        try:
-            from pyspark import SparkConf
-
-            submitted_master = dict(SparkConf().getAll()).get("spark.master")
-        except Exception:
-            submitted_master = None
+    # Under spark-submit, the JVM gateway already exists (PythonRunner
+    # exports PYSPARK_GATEWAY_PORT before exec'ing the driver script)
+    # and carries --master as a JVM property; calling .master() would
+    # silently turn a cluster submit into a single-box run, so when
+    # the env var is present (and the caller didn't force cores) the
+    # builder sets NO master and the submitted one wins. A plain
+    # `python script.py` launches the gateway itself, so the var is
+    # absent and we pick local[N]. (Reading SparkConf() before the
+    # gateway exists returns an EMPTY Python-side conf — it cannot
+    # detect the submitted master; the env var is the signal.)
+    under_submit = (
+        "PYSPARK_GATEWAY_PORT" in os.environ
+        and cores is None
+        and "SPARK_GRAFT_CPUS" not in os.environ
+    )
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = submitted_master or f"local[{cores}]"
     if shuffle_partitions is None:
         # = cores, not a multiple: Python-UDF stages pay a per-task
         # worker cost, and local-mode wall is task-latency-sensitive;
@@ -57,9 +59,11 @@ def get_spark(
         ncores = (os.cpu_count() or 8) if cores == "*" else int(cores)
         shuffle_partitions = max(8, ncores)
 
+    builder = SparkSession.builder
+    if not under_submit:
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

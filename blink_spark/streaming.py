@@ -158,10 +158,12 @@ def incremental_assign_stream(
     files are emitted as their own singleton cluster, never stored)
     and a processing-time TTL that expires idle blocks.
 
-    A file appears under several band keys; downstream, its cluster is
-    the MIN rep_id over its bands (same min-convention the batch CC
-    uses), e.g. in a foreachBatch aggregate. Rows within a micro-batch
-    are processed in file_id order so replays are deterministic.
+    A file appears under several band keys; downstream,
+    :func:`resolve_assignments` folds the per-band rows into one
+    cluster per file — its best-scoring NON-SELF representative across
+    bands (ties to the smaller rep_id), self if nothing matched. Rows
+    within a micro-batch group are processed in file_id order (chunks
+    concatenated first) so replays are deterministic.
     """
     import numpy as np
     import pandas as pd
@@ -182,9 +184,14 @@ def incremental_assign_stream(
         else:
             rep_ids, reps = [], []
         out = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("file_id", kind="mergesort")
-            for fid, su in zip(pdf["file_id"], pdf["su"]):
+        # Concatenate the group's Arrow chunks BEFORE sorting: chunk
+        # arrival order follows shuffle-fetch order (nondeterministic),
+        # so per-chunk sorting would break replay determinism for
+        # groups larger than one Arrow batch.
+        whole = pd.concat(list(pdf_iter), ignore_index=True)
+        if len(whole):
+            whole = whole.sort_values("file_id", kind="mergesort")
+            for fid, su in zip(whole["file_id"], whole["su"]):
                 mine = np.asarray(su, dtype=np.int64)
                 best_rep, best_j = None, 0.0
                 for rid, rsu in zip(rep_ids, reps):

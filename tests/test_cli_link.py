@@ -23,7 +23,9 @@ def test_cli_linking_mode(spark, tmp_path, capsys):
     # link_pred stage table persisted for resume/inspection
     import os
 
-    assert os.path.exists(str(tmp_path / "link_out" / "link_pred" / "_SUCCESS"))
+    assert os.path.exists(
+        str(tmp_path / "link_out" / "link_stages" / "link_pred" / "_SUCCESS")
+    )
 
 
 def test_cli_linking_undirected(spark, tmp_path, capsys):

@@ -74,10 +74,13 @@ def test_kruskal_undirected_dedup():
     assert kept == [(1, 2, 0.9)]
 
 
-@pytest.mark.parametrize("seed", [11, 12])
-def test_boruvka_equals_kruskal(spark, seed):
+@pytest.mark.parametrize("seed,distinct", [(11, True), (12, True), (13, False), (14, False)])
+def test_boruvka_equals_kruskal(spark, seed, distinct):
+    """distinct=False floods the graph with EQUAL weights — the case
+    where the documented tie order (score DESC, u ASC, v ASC) is the
+    only thing keeping the two implementations' edge sets identical."""
     rng = random.Random(seed)
-    edges = random_graph(rng, n=30, m=60)
+    edges = random_graph(rng, n=30, m=60, distinct=distinct)
     df = spark.createDataFrame(edges, "src long, dst long, score double")
     got = {
         (r["src"], r["dst"], r["score"])

@@ -63,5 +63,7 @@ def test_spark_submit_py_files(tmp_path):
     result = json.loads(line)
     assert result["pairwise"]["f1"] == 1.0
     assert result["cc"]["iterations"] >= 1
-    # the submitted master must win (session must not force local[N])
+    # the submitted --master must win: the session must NOT override
+    # it with its own local[N] (the CLI reports the live master)
+    assert result["master"] == "local[4]", result.get("master")
     assert os.path.exists(os.path.join(out_dir, "s3_clusters", "_SUCCESS"))
