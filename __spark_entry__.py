@@ -109,6 +109,24 @@ SELECT k.doc_id, g.dup_group, g.group_size FROM k JOIN g USING (norm_sha)
 """
 
 
+def _dedup_keep_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11-adjacent curation op: collapse exact-dup groups to one
+    surviving representative per cluster (min doc_id — deterministic),
+    the keep-side of a production dedup job."""
+    groups = dedup.exact_dup_groups(_t(spark, sf_dir, "documents"))
+    clusters = groups.select("doc_id", F.col("dup_group").alias("cluster_id"))
+    return dedup.keep_representatives(clusters, id_col="doc_id")
+
+
+_DEDUP_KEEP_REPS_SQL = f"""
+WITH k AS (
+  SELECT doc_id, {ts.norm_sha256_sql('text')} AS norm_sha FROM documents
+)
+SELECT min(doc_id) AS doc_id, min(doc_id) AS cluster_id
+FROM k GROUP BY norm_sha
+"""
+
+
 def _er_chain_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed connected components on per-lang doc-id chains —
     worst-case-diameter graphs; the oracle knows each lang collapses
@@ -1118,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _dedup_embedding,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_keep_representatives": _dedup_keep_reps,
         # similarity search
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_ivf_topk": _ann_ivf_topk,
@@ -1166,6 +1185,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _DEDUP_SIMHASH_PAIRS_SQL,
         "dedup_embedding_cosine": _DEDUP_EMBEDDING_SQL,
         # dedup_minhash_lsh: xxhash64 — rows-only
+        "dedup_keep_representatives": _DEDUP_KEEP_REPS_SQL,
         "ann_cosine_topk": _ANN_COSINE_SQL,
         # ann_ivf_topk / ann_lsh_topk: approximate — rows-only
         "text_token_stats": _TEXT_TOKEN_STATS_SQL,

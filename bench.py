@@ -82,6 +82,7 @@ def main() -> int:
         "rel_join_dims",
         "er_lsh_band_pairs",
         "er_pair_scores",
+        "link_best_entity",
         "dedup_minhash_lsh",
         "dedup_simhash_pairs",
         "ann_cosine_topk",
