@@ -191,7 +191,13 @@ class LinkPipeline:
         """``undirected`` selects the reference's second graph_mode
         (crossencoder/eval_cluster_linking.py:232 sweeps
         ['directed', 'undirected']): each component is G3-filtered to
-        its max spanning forest and symmetrized before the greedy."""
+        its max spanning forest and symmetrized before the greedy.
+
+        ``store`` must NOT be a root previously used for a self-dedup
+        run: the shared s0..s2 stage-table names would resume the
+        dedup run's scored pairs (computed without catalogue rows)
+        and link nothing. Use a fresh root or a sub-namespace, as the
+        CLI does (``<output>/link_stages``)."""
         res = LinkResult()
         flagged, men_ids, ent_ids = self.score_joint(
             mentions, catalogue, store=store, resume=resume
