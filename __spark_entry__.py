@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from blink_spark.functions.rounding import qround
+from blink_spark.functions.rounding import qround, qround_sql
 
 from blink_spark.functions import text as btext
 from blink_spark.functions import textstats as ts
@@ -464,6 +464,47 @@ def _link_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ============================================================== dedup suite
+
+def _dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022 analog): 8-token windows
+    occurring in >= 2 distinct documents, keyed by md5 so the shuffle
+    never carries raw segment text."""
+    return dedup.duplicate_segments(
+        _t(spark, sf_dir, "documents"), k=8, min_docs=2
+    )
+
+
+def _dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-substring coverage — the 'mostly duplicated
+    text' drop signal."""
+    return dedup.segment_dup_coverage(
+        _t(spark, sf_dir, "documents"), k=8, min_docs=2
+    )
+
+
+_SEG_WINDOWS_SQL = f"""
+  SELECT doc_id, md5(unnest({ts.shingles_sql(_TOKS, 8)})) AS seg_md5
+  FROM documents
+"""
+
+_DEDUP_EXACT_SUBSTRING_SQL = f"""
+WITH w AS ({_SEG_WINDOWS_SQL})
+SELECT seg_md5, count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS n_occ
+FROM w GROUP BY seg_md5 HAVING count(DISTINCT doc_id) >= 2
+"""
+
+_DEDUP_SUBSTRING_COVERAGE_SQL = f"""
+WITH w AS ({_SEG_WINDOWS_SQL}),
+dup AS (
+  SELECT seg_md5 FROM w GROUP BY seg_md5 HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT w.doc_id, count(*)::BIGINT AS n_windows,
+       sum(CASE WHEN dup.seg_md5 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS dup_windows,
+       {qround_sql('sum(CASE WHEN dup.seg_md5 IS NOT NULL THEN 1 ELSE 0 END) / count(*)')} AS coverage
+FROM w LEFT JOIN dup ON w.seg_md5 = dup.seg_md5
+GROUP BY w.doc_id
+"""
+
 
 def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
@@ -1027,6 +1068,44 @@ SELECT size, count(*)::BIGINT AS n_groups FROM (
 """
 
 
+def _eval_ari_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 as a driver-oracled query: exact-integer ARI pair-counting
+    components between the exact-dup partition (normalized-text groups)
+    and the (lang, source) partition as the gold analog. All integer
+    arithmetic — bit-identical across engines; ARI = ari_num/ari_den.
+    The float NMI/ARI path (`eval.nmi_ari`) is pytest-gated instead
+    (log/entropy can't hash-match across libm implementations)."""
+    from blink_spark.eval import ari_components
+
+    labels = _t(spark, sf_dir, "documents").select(
+        ts.norm_sha256("text").alias("cluster_id"),
+        F.concat_ws("|", "lang", "source").alias("entity_id"),
+    )
+    return ari_components(labels)
+
+
+_EVAL_ARI_SQL = f"""
+WITH l AS (
+  SELECT {ts.norm_sha256_sql('text')} AS a, lang || '|' || source AS b
+  FROM documents
+), cells AS (
+  SELECT a, b, count(*)::BIGINT AS nij FROM l GROUP BY a, b
+), tot AS (
+  SELECT sum(nij)::BIGINT AS n, sum(nij*(nij-1))::BIGINT AS idx2 FROM cells
+), am AS (
+  SELECT sum(ai*(ai-1))::BIGINT AS sa2
+  FROM (SELECT sum(nij)::BIGINT AS ai FROM cells GROUP BY a)
+), bm AS (
+  SELECT sum(bj*(bj-1))::BIGINT AS sb2
+  FROM (SELECT sum(nij)::BIGINT AS bj FROM cells GROUP BY b)
+)
+SELECT n, idx2, sa2, sb2,
+       (2*(idx2*n*(n-1) - sa2*sb2))::BIGINT AS ari_num,
+       ((sa2+sb2)*n*(n-1) - 2*sa2*sb2)::BIGINT AS ari_den
+FROM tot, am, bm
+"""
+
+
 def _graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-lang chain+skip similarity graph over
     documents: chain edges (rn, rn+1) at weight 0.9 - (rn%7)/100 and
@@ -1130,6 +1209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_mst_forest": _graph_mst_forest,
         "rel_kmeans2_threshold": _rel_kmeans2_threshold,
         # dedup suite
+        "dedup_exact_substring": _dedup_exact_substring,
+        "dedup_substring_coverage": _dedup_substring_coverage,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_simhash_fingerprints": _dedup_simhash_fp,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
@@ -1163,6 +1244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_quantile_threshold": _rel_quantile_threshold,
         "rel_gold_rank": _rel_gold_rank,
         "rel_cluster_hist": _rel_cluster_hist,
+        # clustering-quality eval (A5, exact-integer ARI components)
+        "eval_ari_components": _eval_ari_components,
     }
 
 
@@ -1180,6 +1263,8 @@ def oracle_sql() -> dict[str, str]:
         # link_clusters: G4 greedy partition — rows-only
         "graph_mst_forest": _GRAPH_MST_SQL,
         "rel_kmeans2_threshold": _rel_kmeans2_sql(),
+        "dedup_exact_substring": _DEDUP_EXACT_SUBSTRING_SQL,
+        "dedup_substring_coverage": _DEDUP_SUBSTRING_COVERAGE_SQL,
         "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
         "dedup_simhash_fingerprints": _DEDUP_SIMHASH_FP_SQL,
         "dedup_simhash_pairs": _DEDUP_SIMHASH_PAIRS_SQL,
@@ -1206,4 +1291,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_quantile_threshold": _REL_QUANTILE_SQL,
         "rel_gold_rank": _REL_GOLD_RANK_SQL,
         "rel_cluster_hist": _REL_CLUSTER_HIST_SQL,
+        "eval_ari_components": _EVAL_ARI_SQL,
     }

@@ -239,6 +239,55 @@ def nmi_ari(clusters: DataFrame, gold: DataFrame, id_col: str = "file_id") -> di
     return {"nmi": nmi, "ari": ari, "n": int(n)}
 
 
+def ari_components(
+    labels: DataFrame, a_col: str = "cluster_id", b_col: str = "entity_id"
+) -> DataFrame:
+    """A5 scale path: Adjusted-Rand-Index pair-counting components as
+    EXACT integers, fully distributed — no driver-side contingency
+    collect (contrast `nmi_ari`, which collects the sparse cells; the
+    reference computes ARI via sklearn on driver-resident arrays,
+    eval_entity_discovery.py:96-139).
+
+    Emits ONE row: (n, idx2, sa2, sb2, ari_num, ari_den) where
+    idx2/sa2/sb2 are DOUBLED pair counts (sum x*(x-1) over contingency
+    cells / a-marginals / b-marginals) so no intermediate ever divides,
+    and ARI = ari_num / ari_den with N2 = n*(n-1):
+
+        ari_num = 2*(idx2*N2 - sa2*sb2)
+        ari_den = (sa2 + sb2)*N2 - 2*sa2*sb2
+
+    (both partitions trivial => ari_den = 0, ARI defined as 1.0).
+    Every value is integer arithmetic, so the result is bit-identical
+    across engines and parallelism levels. int64-exact while
+    2*N2^2 < 2^63, i.e. n <= ~46k in the worst case (one giant
+    cluster); past that, consume the components (exact to n ~ 3e9)
+    and finish the two products driver-side in Python bignums.
+    """
+    cells = labels.groupBy(a_col, b_col).agg(F.count(F.lit(1)).alias("nij"))
+    comb2 = lambda c: F.sum(F.col(c) * (F.col(c) - F.lit(1)))
+    tot = cells.agg(
+        F.sum("nij").alias("n"), comb2("nij").alias("idx2")
+    )
+    am = (
+        cells.groupBy(a_col).agg(F.sum("nij").alias("ai"))
+        .agg(comb2("ai").alias("sa2"))
+    )
+    bm = (
+        cells.groupBy(b_col).agg(F.sum("nij").alias("bj"))
+        .agg(comb2("bj").alias("sb2"))
+    )
+    n2 = F.col("n") * (F.col("n") - F.lit(1))
+    num = F.lit(2) * (F.col("idx2") * n2 - F.col("sa2") * F.col("sb2"))
+    den = (F.col("sa2") + F.col("sb2")) * n2 - F.lit(2) * F.col("sa2") * F.col("sb2")
+    return (
+        tot.crossJoin(am).crossJoin(bm)  # three single-row frames
+        .select(
+            "n", "idx2", "sa2", "sb2",
+            num.alias("ari_num"), den.alias("ari_den"),
+        )
+    )
+
+
 def cluster_size_histogram(clusters: DataFrame) -> DataFrame:
     """Component-size distribution (reference's size>=2 filter + counts,
     eval_cluster_linking.py:139-146)."""

@@ -248,3 +248,83 @@ def keep_representatives(clusters: DataFrame, id_col: str = "doc_id") -> DataFra
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, "cluster_id")
     )
+
+
+# ------------------------------------------- exact substring (segments)
+
+def duplicate_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup at k-token granularity: every k-token
+    window whose text occurs in >= min_docs distinct documents, as
+    (seg_md5, n_docs, n_occ). Spark-native analog of the suffix-array
+    substring dedup of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"), re-expressed as a sliding-window
+    group-by that shuffles at 100 TB: windows are hashed to a 32-byte
+    md5 key BEFORE the exchange (raw k-token strings never shuffle),
+    and the two-phase distinct aggregation gives map-side partial
+    combines, so a boilerplate segment appearing in millions of docs
+    is reduced per-partition before it ever concentrates on one task.
+    """
+    sh = text.shingles(text.tokenize(text_col), k)
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("seg"))
+        .select("doc_id", F.md5("seg").alias("seg_md5"))
+        .groupBy("seg_md5")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def segment_dup_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-substring coverage: (doc_id, n_windows,
+    dup_windows, coverage) where coverage is the fraction of the doc's
+    k-token windows whose text also occurs in >= min_docs distinct
+    documents — the "drop documents that are mostly duplicated text"
+    curation signal (Lee et al. 2022 sec. 4). Docs with < k tokens
+    contribute their whole text as one window; empty docs drop out.
+
+    Plan shape: one explode -> hash, one seg-keyed aggregation, one
+    seg-keyed equi-join back (both sides exchange on the same md5 key
+    — no broadcast: the duplicated-segment set grows with the corpus),
+    one doc-keyed aggregation. No driver state, no skew hotspots
+    beyond what AQE's skew-join handles.
+    """
+    sh = text.shingles(text.tokenize(text_col), k)
+    w = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("seg"))
+        .select("doc_id", F.md5("seg").alias("seg_md5"))
+    )
+    dup = (
+        w.groupBy("seg_md5")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("seg_md5", F.lit(1).alias("is_dup"))
+    )
+    return (
+        w.join(dup, "seg_md5", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "dup_windows",
+            qround(F.col("dup_windows") / F.col("n_windows"), 6).alias("coverage"),
+        )
+    )

@@ -78,3 +78,64 @@ def test_embedding_near_dup_pairs(spark):
         for r in dedup.embedding_near_dup_pairs(df, threshold=0.95).collect()
     }
     assert got == {(1, 2)}
+
+
+# ---------------------------------------------- exact substring segments
+
+def test_duplicate_segments_hand_corpus(spark):
+    # doc 1 and 2 share the window "a b c"; doc 3 is disjoint; doc 4
+    # repeats the shared window twice within one doc
+    rows = [
+        (1, "a b c x"),
+        (2, "y a b c"),
+        (3, "p q r s"),
+        (4, "a b c a b c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    segs = dedup.duplicate_segments(docs, k=3, min_docs=2).collect()
+    assert len(segs) == 1  # only "a b c" spans >= 2 docs
+    row = segs[0]
+    assert row["n_docs"] == 3
+    # occurrences: doc1 x1, doc2 x1, doc4 x2
+    assert row["n_occ"] == 4
+
+
+def test_segment_dup_coverage_hand_corpus(spark):
+    rows = [
+        (1, "a b c x"),       # windows: "a b c","b c x" -> 1 of 2 dup
+        (2, "y a b c"),       # windows: "y a b","a b c" -> 1 of 2 dup
+        (3, "p q r s"),       # no dup windows
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cov = {
+        r["doc_id"]: r
+        for r in dedup.segment_dup_coverage(docs, k=3, min_docs=2).collect()
+    }
+    assert cov[1]["n_windows"] == 2 and cov[1]["dup_windows"] == 1
+    assert cov[1]["coverage"] == 0.5
+    assert cov[3]["dup_windows"] == 0 and cov[3]["coverage"] == 0.0
+
+
+def test_duplicate_segments_short_doc_whole_text_window(spark):
+    # docs below k tokens collapse to a single whole-doc window, so two
+    # short identical docs are caught as a duplicated segment
+    docs = spark.createDataFrame(
+        [(1, "hi there"), (2, "hi there"), (3, "bye now")],
+        "doc_id long, text string",
+    )
+    segs = dedup.duplicate_segments(docs, k=5, min_docs=2).collect()
+    assert len(segs) == 1 and segs[0]["n_docs"] == 2
+
+
+def test_segment_coverage_matches_segments(spark, corpus):
+    # total dup window occurrences must agree between the two views
+    docs = _docs(corpus)
+    occ = (
+        dedup.duplicate_segments(docs, k=5, min_docs=2)
+        .agg(F.sum("n_occ")).collect()[0][0]
+    ) or 0
+    cov = (
+        dedup.segment_dup_coverage(docs, k=5, min_docs=2)
+        .agg(F.sum("dup_windows")).collect()[0][0]
+    ) or 0
+    assert occ == cov

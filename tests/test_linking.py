@@ -280,6 +280,32 @@ def test_nmi_ari_known_values():
     assert ari2 == pytest.approx(-0.5, abs=1e-12)
 
 
+def test_ari_components_match_python_oracle(spark):
+    rng = random.Random(7)
+    rows = [(rng.randrange(8), rng.randrange(6)) for _ in range(400)]
+    labels = spark.createDataFrame(rows, "cluster_id long, entity_id long")
+    row = beval.ari_components(labels).collect()[0]
+    _, exp_ari = beval.nmi_ari_py([a for a, _ in rows], [b for _, b in rows])
+    assert row["n"] == 400
+    assert row["ari_den"] > 0
+    assert row["ari_num"] / row["ari_den"] == pytest.approx(exp_ari, abs=1e-12)
+    # doubled pair counts agree with direct combinatorics
+    from collections import Counter
+
+    ca = Counter(a for a, _ in rows)
+    assert row["sa2"] == sum(v * (v - 1) for v in ca.values())
+
+
+def test_ari_components_trivial_partitions(spark):
+    # both sides one giant cluster => den == 0 (ARI defined as 1.0)
+    labels = spark.createDataFrame(
+        [(1, 9)] * 10, "cluster_id long, entity_id long"
+    )
+    row = beval.ari_components(labels).collect()[0]
+    assert (row["ari_den"], row["ari_num"]) == (0, 0)
+    assert row["idx2"] == row["sa2"] == row["sb2"] == 90
+
+
 # ------------------------------------------------------------ k-ladder
 
 def test_k_ladder_argmax(spark, link_fixture, tmp_path):
