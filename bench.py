@@ -84,6 +84,7 @@ def main() -> int:
         "er_pair_scores",
         "link_best_entity",
         "dedup_minhash_lsh",
+        "dedup_exact_substring",
         "dedup_simhash_pairs",
         "ann_cosine_topk",
         "ann_nnd_topk",
