@@ -124,3 +124,21 @@ def test_2means_split_is_single_scan_windows(spark):
     plan = _plan(exact_2means_split(df, "score"))
     assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_substring_dedup_plan_partial_agg_no_broadcast(spark):
+    """Exact-substring dedup: the seg-keyed distinct count must run as
+    a two-phase aggregate (map-side partial combine absorbs hot
+    boilerplate segments before the exchange), and the coverage join
+    back must be a shuffle equi-join — the duplicated-segment set
+    grows with the corpus, so no broadcast of it."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} a b c d e f g h w{i % 5}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    p1 = dedup.duplicate_segments(docs, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in p1, p1          # map-side partial agg present
+    assert "CartesianProduct" not in p1, p1
+    p2 = dedup.segment_dup_coverage(docs, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p2, p2
+    assert "BroadcastNestedLoopJoin" not in p2, p2
