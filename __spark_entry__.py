@@ -37,7 +37,8 @@ from blink_spark.functions.similarity import (
     tf_cosine_udf,
     token_set_jaccard,
 )
-from blink_spark.operators import ann, dedup, multimodal
+from blink_spark.functions import pii
+from blink_spark.operators import ann, curation, dedup, multimodal
 from blink_spark.operators.connected_components import assign_clusters, connected_components
 from blink_spark.pipeline import ERConfig, ERPipeline
 
@@ -747,6 +748,219 @@ FROM documents
 """
 
 
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    """The sf documents contain no PII, so the raw query would gate
+    parity on all-zeros. Deterministically plant doc_id-derived PII in
+    a subset of rows (identical expression in the SQL twin) so the
+    oracle exercises real matches AND real non-matches."""
+    d = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit(" reach me at user"), d.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 11 == 0,
+            F.concat(
+                F.lit(" node 10.0."),
+                (d % 200).cast("string"),
+                F.lit("."),
+                (d % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 13 == 0,
+            F.concat(F.lit(" call +1415555"), (d % 9000 + 1000).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", planted.alias("text"))
+
+
+_PII_AUG_SQL = """
+SELECT doc_id,
+       text
+       || CASE WHEN doc_id % 7 = 0
+               THEN ' reach me at user' || doc_id::VARCHAR || '@example.com'
+               ELSE '' END
+       || CASE WHEN doc_id % 11 = 0
+               THEN ' node 10.0.' || (doc_id % 200)::VARCHAR || '.'
+                    || (doc_id % 250)::VARCHAR
+               ELSE '' END
+       || CASE WHEN doc_id % 13 = 0
+               THEN ' call +1415555' || (doc_id % 9000 + 1000)::VARCHAR
+               ELSE '' END AS text
+FROM documents
+"""
+
+
+def _text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _pii_augmented(_t(spark, sf_dir, "documents"))
+    counts = pii.pii_counts("text")
+    return docs.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ipv4"].alias("n_ipv4"),
+        counts["n_phones"].alias("n_phones"),
+        pii.redacted_sha256("text").alias("redacted_sha256"),
+    )
+
+
+_TEXT_PII_SQL = f"""
+SELECT doc_id,
+       {pii.pii_counts_sql('text')['n_emails']} AS n_emails,
+       {pii.pii_counts_sql('text')['n_ipv4']} AS n_ipv4,
+       {pii.pii_counts_sql('text')['n_phones']} AS n_phones,
+       {pii.redacted_sha256_sql('text')} AS redacted_sha256
+FROM ({_PII_AUG_SQL}) aug
+"""
+
+
+def _rep_augmented(docs: DataFrame) -> DataFrame:
+    """Plant deterministic within-doc repetition (the sf docs have
+    none): every 3rd doc gets its first line appended twice, every
+    5th a repeated 5-token phrase — so dup_line/dup_5gram fracs carry
+    real nonzero signal through the oracle."""
+    d = F.col("doc_id")
+    first_line = F.split(F.col("text"), "\n")[0]
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("\n"), first_line, F.lit("\n"), first_line),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("\n"),
+                F.expr(
+                    "repeat('alpha beta gamma delta epsilon ', "
+                    "cast(doc_id % 3 as int) + 2)"
+                ),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", planted.alias("text"))
+
+
+_REP_AUG_SQL = """
+SELECT doc_id,
+       text
+       || CASE WHEN doc_id % 3 = 0
+               THEN chr(10) || str_split(text, chr(10))[1]
+                    || chr(10) || str_split(text, chr(10))[1]
+               ELSE '' END
+       || CASE WHEN doc_id % 5 = 0
+               THEN chr(10) || repeat('alpha beta gamma delta epsilon ',
+                                      (doc_id % 3)::INTEGER + 2)
+               ELSE '' END AS text
+FROM documents
+"""
+
+
+def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.repetition_stats(
+        _rep_augmented(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _rep_sql() -> str:
+    g2 = ts.shingles_sql(_TOKS, 2)
+    g5 = ts.shingles_sql(_TOKS, 5)
+    lines = "list_filter(str_split(text, chr(10)), x -> trim(x) <> '')"
+    q = lambda e: qround_sql(f"coalesce({e}, 0.0)", 6)  # noqa: E731
+    return f"""
+WITH docs_aug AS ({_REP_AUG_SQL}),
+lraw AS (
+  SELECT doc_id, unnest({lines}) AS l FROM docs_aug
+),
+lc AS (
+  SELECT doc_id, md5(l) AS lk, count(*) AS cnt, max(length(l)) AS lchars
+  FROM lraw GROUP BY doc_id, md5(l)
+),
+lstats AS (
+  SELECT doc_id,
+         sum(cnt) AS n_lines,
+         (sum(cnt) - count(*)) / sum(cnt) AS dup_line_frac,
+         sum(CASE WHEN cnt > 1 THEN lchars * cnt ELSE 0 END)
+           / sum(lchars * cnt) AS dup_line_char_frac
+  FROM lc GROUP BY doc_id
+),
+g2 AS (
+  SELECT doc_id, md5(g) AS gk, count(*) AS cnt
+  FROM (SELECT doc_id, unnest({g2}) AS g FROM docs_aug)
+  GROUP BY doc_id, md5(g)
+),
+t2 AS (
+  SELECT doc_id, max(cnt) / sum(cnt) AS top_2gram_frac FROM g2 GROUP BY doc_id
+),
+g5 AS (
+  SELECT doc_id, md5(g) AS gk, count(*) AS cnt
+  FROM (SELECT doc_id, unnest({g5}) AS g FROM docs_aug)
+  GROUP BY doc_id, md5(g)
+),
+d5 AS (
+  SELECT doc_id, (sum(cnt) - count(*)) / sum(cnt) AS dup_5gram_frac
+  FROM g5 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_lines, 0)::BIGINT AS n_lines,
+       {q('dup_line_frac')} AS dup_line_frac,
+       {q('dup_line_char_frac')} AS dup_line_char_frac,
+       {q('top_2gram_frac')} AS top_2gram_frac,
+       {q('dup_5gram_frac')} AS dup_5gram_frac
+FROM docs_aug d
+LEFT JOIN lstats USING (doc_id)
+LEFT JOIN t2 USING (doc_id)
+LEFT JOIN d5 USING (doc_id)
+"""
+
+
+_TEXT_REPETITION_SQL = _rep_sql()
+
+
+def _dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark = 300-char excerpts of every 31st doc (the realistic
+    leakage shape: an eval set quoting training documents verbatim);
+    corpus = all docs. Excerpted docs must flag as contaminated, the
+    rest (cross-doc 8-gram collisions aside) as clean — so the oracle
+    checks hits AND non-hits."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 31 == 0).select(
+        "doc_id", F.substring("text", 50, 300).alias("text")
+    )
+    return curation.decontaminate(docs, bench, n=8, threshold=1)
+
+
+def _decon_sql() -> str:
+    g8 = f"list_distinct({ts.shingles_sql(_TOKS, 8)})"
+    return f"""
+WITH bench AS (
+  SELECT DISTINCT md5(g) AS gk
+  FROM (
+    SELECT unnest(list_distinct({ts.shingles_sql(ts.tokens_sql('substr(text, 50, 300)'), 8)})) AS g
+    FROM documents WHERE doc_id % 31 = 0
+  )
+),
+corpus AS (
+  SELECT doc_id, md5(g) AS gk
+  FROM (SELECT doc_id, unnest({g8}) AS g FROM documents)
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_overlap_grams
+  FROM corpus JOIN bench USING (gk) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_overlap_grams, 0)::BIGINT AS n_overlap_grams,
+       coalesce(h.n_overlap_grams, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+_DEDUP_DECON_SQL = _decon_sql()
+
+
 # =============================================================== multimodal
 
 def _mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1218,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": _dedup_embedding_lsh,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_keep_representatives": _dedup_keep_reps,
+        "dedup_decontaminate": _dedup_decontaminate,
         # similarity search
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_ivf_topk": _ann_ivf_topk,
@@ -1227,6 +1442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _text_token_stats,
         "text_langid": _text_langid,
         "text_quality": _text_quality,
+        "text_pii": _text_pii,
+        "text_repetition": _text_repetition,
         "text_fingerprint": _text_fingerprint,
         # multimodal
         "mm_asset_metadata": _mm_metadata,
@@ -1271,11 +1488,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _DEDUP_EMBEDDING_SQL,
         # dedup_minhash_lsh: xxhash64 — rows-only
         "dedup_keep_representatives": _DEDUP_KEEP_REPS_SQL,
+        "dedup_decontaminate": _DEDUP_DECON_SQL,
         "ann_cosine_topk": _ANN_COSINE_SQL,
         # ann_ivf_topk / ann_lsh_topk: approximate — rows-only
         "text_token_stats": _TEXT_TOKEN_STATS_SQL,
         "text_langid": _TEXT_LANGID_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
+        "text_pii": _TEXT_PII_SQL,
+        "text_repetition": _TEXT_REPETITION_SQL,
         "text_fingerprint": _TEXT_FINGERPRINT_SQL,
         "mm_asset_metadata": _MM_METADATA_SQL,
         "mm_frame_sample": _MM_FRAMES_SQL,

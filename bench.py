@@ -90,6 +90,8 @@ def main() -> int:
         "ann_nnd_topk",
         "graph_mst_forest",
         "text_quality",
+        "text_repetition",
+        "dedup_decontaminate",
         "mm_byte_features",
     ]
     for name in headline:
