@@ -3,8 +3,8 @@
 (n-gram-overlap flagging against an eval set).
 
 Both are expressed as explode -> hash-keyed groupBy aggregations —
-one linear shuffle per statistic family, no per-row quadratic work
-and no Python in the hot path. Lines/grams shuffle under their md5
+repetition stats share ONE linear shuffle across all statistic
+families, no per-row quadratic work and no Python in the hot path. Lines/grams shuffle under their md5
 key (16-byte hex) rather than the raw string, so the shuffle payload
 is bounded regardless of document size; md5 is used (not xxhash64)
 because the DuckDB oracle can evaluate the identical key.
@@ -61,50 +61,63 @@ def repetition_stats(
     Documents with no lines / no grams report 0.0 (and n_lines 0).
     Ratios divide exact integer sums once, so the qround quantization
     is bit-stable across engines.
+
+    All three statistic families ride ONE explode → ONE
+    (doc, kind, key) shuffle (previously three separate passes that
+    tokenized the content twice and joined three aggregates back on
+    doc_id): lines, top-grams, and dup-grams are tagged structs in a
+    single concatenated array, and the per-doc rollup separates them
+    with conditional aggregates. Identical exact-integer arithmetic,
+    one-third the exchanges.
     """
     base = docs.select(id_col)
 
-    line_counts = (
-        docs.select(
-            F.col(id_col), F.explode(_lines(text_col)).alias("l")
+    toks = tokenize(text_col)
+
+    def _tag(kind: int, arr, chars=None):
+        return F.transform(
+            arr,
+            lambda x: F.struct(
+                F.lit(kind).alias("kind"),
+                F.md5(x).alias("key"),
+                (F.length(x) if chars else F.lit(0)).alias("chars"),
+            ),
         )
-        .select(
-            id_col, F.md5("l").alias("lk"), F.length("l").alias("lchars")
-        )
-        .groupBy(id_col, "lk")
-        .agg(F.count("*").alias("cnt"), F.max("lchars").alias("lchars"))
+
+    items = F.concat(
+        _tag(0, _lines(text_col), chars=True),
+        _tag(1, shingles(toks, top_gram)),
+        _tag(2, shingles(toks, dup_gram)),
     )
-    line_stats = line_counts.groupBy(id_col).agg(
-        F.sum("cnt").alias("n_lines"),
-        ((F.sum("cnt") - F.count("*")) / F.sum("cnt")).alias("dup_line_frac"),
+    counts = (
+        docs.select(F.col(id_col), F.explode(items).alias("it"))
+        .groupBy(id_col, F.col("it.kind").alias("kind"), F.col("it.key").alias("key"))
+        .agg(F.count("*").alias("cnt"), F.max("it.chars").alias("chars"))
+    )
+
+    def _if(kind: int, col) -> F.Column:
+        return F.when(F.col("kind") == kind, col)
+
+    stats = counts.groupBy(id_col).agg(
+        F.sum(_if(0, F.col("cnt"))).alias("n_lines"),
         (
-            F.sum(F.when(F.col("cnt") > 1, F.col("lchars") * F.col("cnt")).otherwise(F.lit(0)))
-            / F.sum(F.col("lchars") * F.col("cnt"))
+            (F.sum(_if(0, F.col("cnt"))) - F.count(_if(0, F.lit(1))))
+            / F.sum(_if(0, F.col("cnt")))
+        ).alias("dup_line_frac"),
+        (
+            F.sum(_if(0, F.when(F.col("cnt") > 1, F.col("chars") * F.col("cnt")).otherwise(F.lit(0))))
+            / F.sum(_if(0, F.col("chars") * F.col("cnt")))
         ).alias("dup_line_char_frac"),
+        (F.max(_if(1, F.col("cnt"))) / F.sum(_if(1, F.col("cnt")))).alias(
+            "top_2gram_frac"
+        ),
+        (
+            (F.sum(_if(2, F.col("cnt"))) - F.count(_if(2, F.lit(1))))
+            / F.sum(_if(2, F.col("cnt")))
+        ).alias("dup_5gram_frac"),
     )
 
-    def gram_counts(k: int) -> DataFrame:
-        return (
-            docs.select(
-                F.col(id_col),
-                F.explode(shingles(tokenize(text_col), k)).alias("g"),
-            )
-            .groupBy(id_col, F.md5("g").alias("gk"))
-            .agg(F.count("*").alias("cnt"))
-        )
-
-    top_stats = gram_counts(top_gram).groupBy(id_col).agg(
-        (F.max("cnt") / F.sum("cnt")).alias("top_2gram_frac")
-    )
-    dup_stats = gram_counts(dup_gram).groupBy(id_col).agg(
-        ((F.sum("cnt") - F.count("*")) / F.sum("cnt")).alias("dup_5gram_frac")
-    )
-
-    out = (
-        base.join(line_stats, id_col, "left")
-        .join(top_stats, id_col, "left")
-        .join(dup_stats, id_col, "left")
-    )
+    out = base.join(stats, id_col, "left")
     return out.select(
         id_col,
         F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
