@@ -111,17 +111,28 @@ def blocking_recall(blocks: DataFrame, gold: DataFrame, id_col: str = "file_id")
     gold_pairs = (
         ga.join(gb, "entity_id").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
     )
+    # Never materialize the full block self-join: expand only the GOLD
+    # pairs by id_a's block keys, then semi-join to test id_b shares
+    # one. ONE aggregation job computes both counts (was two count()
+    # jobs over the all-covered-pairs join).
     ba = blocks.select("block_key", F.col(id_col).alias("id_a"))
     bb = blocks.select("block_key", F.col(id_col).alias("id_b"))
     covered = (
-        ba.join(bb, "block_key")
-        .where(F.col("id_a") < F.col("id_b"))
+        gold_pairs.join(ba, "id_a")
+        .join(bb, ["block_key", "id_b"], "left_semi")
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
-        .join(gold_pairs, ["id_a", "id_b"], "left_semi")
+        .withColumn("cov", F.lit(1))
     )
-    n_gold = gold_pairs.count()
-    n_cov = covered.count()
+    row = (
+        gold_pairs.join(covered, ["id_a", "id_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_gold"),
+            F.coalesce(F.sum("cov"), F.lit(0)).alias("n_cov"),
+        )
+        .collect()[0]
+    )
+    n_gold, n_cov = int(row["n_gold"]), int(row["n_cov"])
     return {
         "gold_pairs": n_gold,
         "covered": n_cov,

@@ -46,26 +46,33 @@ def _c(col: Column | str) -> Column:
 
 
 def pii_counts(text_col: Column | str) -> dict[str, Column]:
-    """Per-row match counts for each PII class. long columns."""
-    c = _c(text_col)
-    return {
-        "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)).cast("long"),
-        "n_ipv4": F.regexp_count(c, F.lit(IPV4_RE)).cast("long"),
-        "n_phones": F.regexp_count(c, F.lit(PHONE_RE)).cast("long"),
-    }
+    """Per-row match counts for each PII class. long columns.
+
+    Each class is counted on the text with all EARLIER classes already
+    redacted (the ``_REDACTIONS`` order), so counts agree with what
+    :func:`redact` actually replaces — a plus-addressed email like
+    ``a+4930123456@x.com`` is one email, not an email AND a phone."""
+    cur = _c(text_col)
+    out: dict[str, Column] = {}
+    for (pat, tag), name in zip(_REDACTIONS, ("n_emails", "n_ipv4", "n_phones")):
+        out[name] = F.regexp_count(cur, F.lit(pat)).cast("long")
+        cur = F.regexp_replace(cur, pat, tag)
+    return out
 
 
 def pii_counts_sql(col: str) -> dict[str, str]:
     # DuckDB single-quoted literals are escape-free: a backslash in
-    # the Python pattern string passes through to RE2 verbatim.
-    def cnt(pat: str) -> str:
-        return f"len(regexp_extract_all({col}, '{pat.replace(chr(39), chr(39) * 2)}'))::BIGINT"
+    # the Python pattern string passes through to RE2 verbatim. Same
+    # progressive-redaction order as pii_counts.
+    def q(pat: str) -> str:
+        return pat.replace(chr(39), chr(39) * 2)
 
-    return {
-        "n_emails": cnt(EMAIL_RE),
-        "n_ipv4": cnt(IPV4_RE),
-        "n_phones": cnt(PHONE_RE),
-    }
+    out: dict[str, str] = {}
+    cur = col
+    for (pat, tag), name in zip(_REDACTIONS, ("n_emails", "n_ipv4", "n_phones")):
+        out[name] = f"len(regexp_extract_all({cur}, '{q(pat)}'))::BIGINT"
+        cur = f"regexp_replace({cur}, '{q(pat)}', '{tag}', 'g')"
+    return out
 
 
 def redact(text_col: Column | str) -> Column:

@@ -146,6 +146,7 @@ def max_spanning_forest(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
         .withColumn("comp", F.col("node"))
     )
     forest = spark.createDataFrame([], "u long, v long, score double")
+    converged = False
     for _ in range(max_rounds):
         labeled = (
             e.join(comp.select(F.col("node").alias("u"), F.col("comp").alias("cu")), "u")
@@ -153,6 +154,7 @@ def max_spanning_forest(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
             .where(F.col("cu") != F.col("cv"))
         )
         if labeled.isEmpty():
+            converged = True
             break
         # best cross edge per component, from BOTH endpoints' perspective
         per_side = labeled.select(F.col("cu").alias("c"), "u", "v", "score").unionByName(
@@ -193,6 +195,22 @@ def max_spanning_forest(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
         )
         comp = comp.localCheckpoint(eager=True)
         forest = forest.localCheckpoint(eager=True)
+    if not converged and not (
+        e.join(comp.select(F.col("node").alias("u"), F.col("comp").alias("cu")), "u")
+        .join(comp.select(F.col("node").alias("v"), F.col("comp").alias("cv")), "v")
+        .where(F.col("cu") != F.col("cv"))
+        .isEmpty()
+    ):
+        # Components at least halve per round, so 30 rounds cover 2^30
+        # components; exhausting them means something is wrong (or an
+        # absurd max_rounds override). Never return a silently partial
+        # forest — callers can't tell truncation from convergence.
+        raise RuntimeError(
+            f"max_spanning_forest: cross-component edges remain after "
+            f"{max_rounds} Boruvka rounds; the returned forest would be "
+            f"non-spanning. Raise max_rounds (components halve per round, "
+            f"so rounds ~ log2(n_nodes))."
+        )
     return forest.select(
         F.col("u").alias("src"), F.col("v").alias("dst"), "score"
     )

@@ -137,8 +137,13 @@ def exact_2means_split(
     on identical inputs in either engine."""
     gcols = [by] if by else []
     v = qround(F.col(col), ndigits).cast("decimal(18,6)").alias("v")
-    hist = df.select(*gcols, v).groupBy(*gcols, "v").agg(
-        F.count(F.lit(1)).alias("w")
+    # NULLs out: Spark windows order NULLS FIRST, DuckDB NULLS LAST —
+    # a NULL value would shift the prefix sums differently per engine.
+    hist = (
+        df.where(F.col(col).isNotNull())
+        .select(*gcols, v)
+        .groupBy(*gcols, "v")
+        .agg(F.count(F.lit(1)).alias("w"))
     )
     wo = W.partitionBy(*gcols).orderBy("v")
     wg = W.partitionBy(*gcols)
@@ -185,7 +190,7 @@ def exact_2means_split_sql(
     return f"""
 WITH hist AS (
   SELECT {g}CAST({qr(col)} AS DECIMAL(18,6)) AS v, count(*) AS w
-  FROM {table} {gb}
+  FROM {table} WHERE {col} IS NOT NULL {gb}
 ), d AS (
   SELECT {g}v,
          sum(w) OVER ({part}ORDER BY v) AS cum_w,
@@ -254,7 +259,12 @@ def threshold_ladder(
     results = spark.createDataFrame(
         rows, "threshold double, precision double, recall double, f1 double"
     )
-    best = max(rows, key=lambda r: (r["f1"], r["threshold"]))
+    # Reference best-config loop: `if thresh != 0 and result > best`
+    # (crossencoder/eval_cluster_linking.py:228) — threshold 0 is
+    # excluded and a strict `>` over the ascending sweep keeps the
+    # FIRST maximum, i.e. ties go to the SMALLER threshold.
+    nonzero = [r for r in rows if r["threshold"] != 0.0]
+    best = max(nonzero or rows, key=lambda r: (r["f1"], -r["threshold"]))
     if store is not None:
         store.write(results, "threshold_ladder_results")
         store.write_metrics("threshold_ladder_best", best)

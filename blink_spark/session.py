@@ -50,6 +50,20 @@ def get_spark(
         and cores is None
         and "SPARK_GRAFT_CPUS" not in os.environ
     )
+    if "PYSPARK_GATEWAY_PORT" in os.environ and not under_submit:
+        # A stray SPARK_GRAFT_CPUS (or explicit cores=) under
+        # spark-submit overrides the submitted --master with local[N],
+        # silently turning a cluster job into a single-box run. Honor
+        # the override (tests rely on it) but never silently.
+        import warnings
+
+        src = "cores=" if cores is not None else "SPARK_GRAFT_CPUS"
+        warnings.warn(
+            f"get_spark: running under spark-submit but {src} forces a "
+            f"local[N] master, overriding the submitted --master. Unset "
+            f"SPARK_GRAFT_CPUS / drop cores= to run on the cluster.",
+            stacklevel=2,
+        )
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
