@@ -30,6 +30,7 @@ from typing import Iterable
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from blink_spark.operators.connected_components import connected_components
 
@@ -182,8 +183,97 @@ def _partition_one_component(pdf: pd.DataFrame, undirected: bool = False) -> pd.
     return pd.DataFrame(rows, columns=["node_id", "is_entity", "entity_id"])
 
 
+def _star_window_assign(star: DataFrame, undirected: bool) -> DataFrame:
+    """Resolve entity-star-only components (every edge mention->entity)
+    with pure DataFrame ops — no pandas group ever holds a component.
+
+    Equivalence to the greedy (exact, including tie-breaks): a mention
+    whose out-edges all terminate at entity nodes has depth-1
+    reachability, so during the ascending (score, src, dst) scan each
+    of its edges except the LAST is dropped (the not-yet-processed
+    rest still reaches an entity) and the last — max score, then max
+    dst — is kept. That is a per-src window argmax. Duplicate
+    (src, dst) rows need no explicit dedup: the argmax picks the same
+    row the dedup-to-max-weight would.
+
+    undirected mode first G3-filters to the max spanning forest
+    (special_partition.pyx:391-414) — ties across 4-cycles make the
+    forest's kept-edge set differ from the raw argmax, so the fast
+    path runs the DISTRIBUTED Boruvka forest (tie-identical to the
+    per-component Kruskal, pinned by tests) and argmaxes over forest
+    edges. Entities keep >= 1 edge per mention (a spanning forest
+    never isolates a node), so every mention still resolves.
+    """
+    ents = star.select(F.col("dst").alias("node_id")).distinct()
+    edges_me = star.select("src", "dst", "score")
+    if undirected:
+        from blink_spark.operators.mst import max_spanning_forest
+
+        forest = max_spanning_forest(edges_me)
+        # canonical min-first endpoints -> back to (mention, entity)
+        flagged = forest.join(
+            ents.select(F.col("node_id").alias("src")).withColumn(
+                "src_is_ent", F.lit(True)
+            ),
+            "src",
+            "left",
+        )
+        edges_me = flagged.select(
+            F.when(F.col("src_is_ent"), F.col("dst")).otherwise(F.col("src")).alias("src"),
+            F.when(F.col("src_is_ent"), F.col("src")).otherwise(F.col("dst")).alias("dst"),
+            "score",
+        )
+    w = W.partitionBy("src").orderBy(F.desc("score"), F.desc("dst"))
+    mentions = (
+        edges_me.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("src").alias("node_id"),
+            F.lit(False).alias("is_entity"),
+            F.col("dst").alias("entity_id"),
+        )
+    )
+    entities = ents.select(
+        "node_id", F.lit(True).alias("is_entity"), F.col("node_id").alias("entity_id")
+    )
+    return mentions.unionByName(entities)
+
+
+def _salvage_assign(part: DataFrame) -> DataFrame:
+    """Degraded resolution for oversize mixed components: every mention
+    takes its best retrieved entity edge directly (the star argmax,
+    ignoring mention-mention edges); mentions with no entity edge stay
+    NULL. Loses the greedy's chain-healing, keeps the one-entity-per-
+    cluster invariant, and never concentrates a component in one task."""
+    nodes = (
+        part.select(F.col("src").alias("node_id"), F.col("src_is_entity").alias("is_ent"))
+        .unionByName(
+            part.select(F.col("dst").alias("node_id"), F.col("dst_is_entity").alias("is_ent"))
+        )
+        .groupBy("node_id")
+        .agg(F.max("is_ent").alias("is_entity"))
+    )
+    me = part.where(~F.col("src_is_entity") & F.col("dst_is_entity"))
+    w = W.partitionBy("src").orderBy(F.desc("score"), F.desc("dst"))
+    best = (
+        me.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(F.col("src").alias("node_id"), F.col("dst").alias("best_ent"))
+    )
+    return nodes.join(best, "node_id", "left").select(
+        "node_id",
+        "is_entity",
+        F.when(F.col("is_entity"), F.col("node_id"))
+        .otherwise(F.col("best_ent"))
+        .alias("entity_id"),
+    )
+
+
 def entity_constrained_partition(
-    edges: DataFrame, undirected: bool = False
+    edges: DataFrame,
+    undirected: bool = False,
+    max_component_edges: int = 2_000_000,
+    oversize: str = "error",
 ) -> DataFrame:
     """Distributed G4: edges(src, dst, score, src_is_entity,
     dst_is_entity) -> (node_id, is_entity, entity_id) for every node
@@ -191,21 +281,99 @@ def entity_constrained_partition(
     entity (the reference never sees these — its kNN always returns
     entity candidates; blocking-based retrieval can come up empty).
 
-    CC finds the weak components (O(log n) distributed rounds); the
-    per-component greedy runs as one applyInPandas group per
-    component, all components in parallel.
+    CC finds the weak components (O(log n) distributed rounds); each
+    component is then routed by shape:
+
+    * **entity-star-only** (no mention-mention edge, no entity-sourced
+      edge — the mention_knn=0 rung, and the HOT-ENTITY skew shape: a
+      popular catalogue entity pulls all its mentions into one
+      component) -> pure window argmax, never a pandas group. A
+      10^8-mention star is just a shuffle on src.
+    * **mixed** components up to ``max_component_edges`` -> the exact
+      per-component ``applyInPandas`` greedy (one task per component,
+      components in parallel — mirrors the reference running the
+      Cython kernel per adjacency, special_partition.pyx:288-356).
+    * **mixed oversize** -> ``oversize="error"`` (default) raises with
+      the offending component sizes and remediation knobs;
+      ``oversize="salvage"`` degrades LOUDLY to best-entity argmax for
+      those components (documented approximation, no OOM).
 
     ``undirected=True`` is the reference's undirected graph mode:
-    each component is first G3-filtered to its maximum spanning
-    forest, then symmetrized, then greedily pruned — the exact
-    pipeline of special_partition.pyx:391-414.
+    G3 max-spanning-forest filter, symmetrize, then prune
+    (special_partition.pyx:391-414); the star fast path uses the
+    distributed Boruvka forest, tie-identical to per-component Kruskal.
     """
+    if oversize not in ("error", "salvage"):
+        raise ValueError(f"oversize must be 'error' or 'salvage', got {oversize!r}")
+    from blink_spark.io.scratch import spill_scratch
+
     sym = edges.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
     comp = connected_components(sym)
-    e = edges.join(
-        comp.select(F.col("id").alias("src"), "component"), "src"
+    e = edges.join(comp.select(F.col("id").alias("src"), "component"), "src")
+    # one durable spill: consumed by the stats agg + every routed path
+    e, _ = spill_scratch(e, "g4_edges")
+    stats = e.groupBy("component").agg(
+        F.max(
+            (F.col("src_is_entity") | ~F.col("dst_is_entity")).cast("int")
+        ).alias("not_star"),
+        F.count(F.lit(1)).alias("n_edges"),
     )
-    return e.groupBy("component").applyInPandas(
-        lambda pdf: _partition_one_component(pdf, undirected=undirected),
-        schema=PARTITION_SCHEMA,
+    stats, _ = spill_scratch(stats, "g4_stats")
+    big = F.col("n_edges") > F.lit(int(max_component_edges))
+    route = (
+        F.when(F.col("not_star") == 0, F.lit("star"))
+        .when(big, F.lit("over"))
+        .otherwise(F.lit("greedy"))
     )
+    counts = {
+        r["route"]: r["n"]
+        for r in stats.groupBy(route.alias("route")).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    spark = edges.sparkSession
+    parts: list[DataFrame] = []
+    routed = e.join(stats.select("component", route.alias("route")), "component")
+    if counts.get("star"):
+        parts.append(_star_window_assign(routed.where(F.col("route") == "star"), undirected))
+    if counts.get("greedy"):
+        parts.append(
+            routed.where(F.col("route") == "greedy")
+            .groupBy("component")
+            .applyInPandas(
+                lambda pdf: _partition_one_component(pdf, undirected=undirected),
+                schema=PARTITION_SCHEMA,
+            )
+        )
+    if counts.get("over"):
+        worst = (
+            stats.where((F.col("not_star") == 1) & big)
+            .orderBy(F.desc("n_edges"))
+            .limit(5)
+            .collect()
+        )
+        desc = ", ".join(f"component {r['component']}: {r['n_edges']} edges" for r in worst)
+        if oversize == "error":
+            raise ValueError(
+                f"entity_constrained_partition: {counts['over']} mixed "
+                f"component(s) exceed max_component_edges="
+                f"{max_component_edges} ({desc}). One applyInPandas task "
+                f"would hold each whole component. Remedies: raise the "
+                f"score threshold / lower mention_knn to fracture them, "
+                f"raise max_component_edges if executors have headroom, "
+                f"or pass oversize='salvage' for a best-entity-argmax "
+                f"degradation of just these components."
+            )
+        import warnings
+
+        warnings.warn(
+            f"entity_constrained_partition: degrading {counts['over']} "
+            f"oversize mixed component(s) ({desc}) to best-entity argmax "
+            f"(mention-mention edges ignored there).",
+            stacklevel=2,
+        )
+        parts.append(_salvage_assign(routed.where(F.col("route") == "over")))
+    if not parts:
+        return spark.createDataFrame([], PARTITION_SCHEMA)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
