@@ -1384,6 +1384,97 @@ FROM d QUALIFY dst IS NOT NULL
 """
 
 
+def _link_partition_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 entity-constrained greedy partition
+    (special_partition.pyx:288-356) on a graph whose kept-edge set is
+    ANALYTICALLY derivable, so a SQL oracle can state the answer — the
+    same trick graph_mst_forest uses for G3.
+
+    Fixture: documents ordered by doc_id, grouped in fours (partial
+    tail group dropped). Group g has mentions m0..m3 (pos = rank in
+    group), main entity E(g) = -(2g+2), decoy entity D(g) = -(2g+1).
+    Edges: chain m0->m1 (0.5), m1->m2 (0.6), m2->m3 (0.7), anchor
+    m3->E (0.9), and per-mention decoy edges m_i->D at 0.100+0.001*pos.
+    Every third group (g%3==0) OMITS the m1->m2 chain edge.
+
+    Greedy trace (ascending score scan): decoys are processed first, in
+    pos order. In an unbroken group each decoy drop still reaches E via
+    the chain, so all decoys drop and the chain+anchor survive: all
+    four mentions -> E. In a broken group m0's decoy drops (m0 reaches
+    D THROUGH m1's still-present decoy — the scan-order interleaving
+    the oracle pins), then m1's decoy is kept (m1 would be stranded),
+    m2/m3 drop theirs (chain to E survives): m0,m1 -> D and m2,m3 -> E.
+    Components here are mixed (mention-mention edges), so this drives
+    the applyInPandas greedy, not the star argmax fast path.
+    """
+    from blink_spark.operators.linking import entity_constrained_partition
+
+    g = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("r", F.row_number().over(W.orderBy("doc_id")) - 1)
+        .withColumn("grp", (F.col("r") / 4).cast("long"))
+        .withColumn("pos", F.col("r") % 4)
+        .withColumn("gsz", F.count(F.lit(1)).over(W.partitionBy("grp")))
+        .where(F.col("gsz") == 4)
+    )
+    ent = (-(F.col("grp") * 2 + 2)).cast("long")
+    dec = (-(F.col("grp") * 2 + 1)).cast("long")
+    decoy = g.select(
+        F.col("doc_id").alias("src"),
+        dec.alias("dst"),
+        (F.lit(0.10) + F.col("pos").cast("double") * F.lit(0.001)).alias("score"),
+        F.lit(False).alias("src_is_entity"),
+        F.lit(True).alias("dst_is_entity"),
+    )
+    wl = W.partitionBy("grp").orderBy("pos")
+    chain = (
+        g.select(
+            "grp",
+            "pos",
+            F.col("doc_id").alias("src"),
+            F.lead("doc_id", 1).over(wl).alias("dst"),
+            (F.lit(0.4) + (F.col("pos") + 1).cast("double") * F.lit(0.1)).alias("score"),
+        )
+        .where(F.col("dst").isNotNull())
+        .where(~((F.col("grp") % 3 == 0) & (F.col("pos") == 1)))
+        .select(
+            "src",
+            "dst",
+            "score",
+            F.lit(False).alias("src_is_entity"),
+            F.lit(False).alias("dst_is_entity"),
+        )
+    )
+    anchor = g.where(F.col("pos") == 3).select(
+        F.col("doc_id").alias("src"),
+        ent.alias("dst"),
+        F.lit(0.9).alias("score"),
+        F.lit(False).alias("src_is_entity"),
+        F.lit(True).alias("dst_is_entity"),
+    )
+    part = entity_constrained_partition(decoy.unionByName(chain).unionByName(anchor))
+    return part.where(~F.col("is_entity")).select(
+        F.col("node_id").alias("doc_id"),
+        F.col("entity_id").alias("pred_entity_id"),
+    )
+
+
+_LINK_PARTITION_CHAIN_SQL = """
+WITH d AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r FROM documents
+), g AS (
+  SELECT doc_id, CAST(floor(r / 4.0) AS BIGINT) AS grp, r % 4 AS pos,
+         count(*) OVER (PARTITION BY CAST(floor(r / 4.0) AS BIGINT)) AS gsz
+  FROM d
+)
+SELECT doc_id,
+       CASE WHEN grp % 3 = 0 AND pos <= 1 THEN -(2 * grp + 1)
+            ELSE -(2 * grp + 2) END AS pred_entity_id
+FROM g WHERE gsz = 4
+"""
+
+
 def _rel_kmeans2_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 threshold selection, KMeans-style
     (crossencoder/eval_cluster_linking.py:211-215, 233-235): exact 1-D
@@ -1419,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_topk_candidates": _link_topk_candidates,
         "link_best_entity": _link_best_entity,
         "link_clusters": _link_clusters,
+        "link_partition_chain": _link_partition_chain,
         # graph ops (G3) + threshold selection (A7)
         "graph_mst_forest": _graph_mst_forest,
         "rel_kmeans2_threshold": _rel_kmeans2_threshold,
@@ -1477,7 +1569,10 @@ def oracle_sql() -> dict[str, str]:
         "er_topk_edges": _ER_TOPK_EDGES_SQL,
         "link_topk_candidates": _link_sql("rank <= 3"),
         "link_best_entity": _LINK_BEST_SQL,
-        # link_clusters: G4 greedy partition — rows-only
+        # link_clusters: G4 over LSH-scored pairs — rows-only (pytest
+        # gates); the greedy ITSELF is value-oracled by the analytic
+        # link_partition_chain fixture below
+        "link_partition_chain": _LINK_PARTITION_CHAIN_SQL,
         "graph_mst_forest": _GRAPH_MST_SQL,
         "rel_kmeans2_threshold": _rel_kmeans2_sql(),
         "dedup_exact_substring": _DEDUP_EXACT_SUBSTRING_SQL,

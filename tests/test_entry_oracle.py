@@ -24,6 +24,7 @@ FAST_QUERIES = [
     "text_quality",
     "text_fingerprint",
     "mm_frame_sample",
+    "link_partition_chain",
     "rel_agg_q1",
     "rel_topk_window",
     "rel_minmax_scale",
