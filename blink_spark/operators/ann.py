@@ -343,6 +343,7 @@ def nn_descent_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     early_stop: bool = True,
+    checkpoint_fn=None,
 ) -> DataFrame:
     """E7 graph-based ANN — the role HNSW plays in the reference's
     retrieval ladder (faiss_indexer.py's graph index family), built
@@ -366,14 +367,24 @@ def nn_descent_topk(
     Init seeds the graph with sign-LSH buckets (good starting recall,
     one pass); NN-descent then repairs what bucketing missed.
     Self-search semantics (query set == corpus), like the reference's
-    within-corpus kNN during clustering."""
+    within-corpus kNN during clustering.
+
+    The per-round graph is checkpointed DURABLY (scratch parquet by
+    default, same policy as connected_components — a lost executor
+    must not kill the whole descent). ``checkpoint_fn`` is a df->df
+    checkpointer for callers with a specific durable location."""
     if sample_k is None:
         sample_k = max(4, k // 2)
+    from blink_spark.operators.connected_components import (
+        scratch_parquet_checkpointer,
+    )
+
+    ckpt = checkpoint_fn or scratch_parquet_checkpointer("nnd_iter")
     base = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec"))
     edges = lsh_topk(
         corpus, k=k, id_col=id_col, vec_col=vec_col, seed=seed
     ).select("query_id", "neighbor_id", "cosine")
-    edges = edges.localCheckpoint(eager=True)  # narrow 3-col table
+    edges = ckpt(edges)
 
     for _ in range(iterations):
         # (1) symmetrized neighborhood, degree-capped for generation
@@ -426,7 +437,7 @@ def nn_descent_topk(
         merged = _topk_window(
             edges.unionByName(scored_new), k
         ).select("query_id", "neighbor_id", "cosine")
-        merged = merged.localCheckpoint(eager=True)
+        merged = ckpt(merged)
         if early_stop:
             no_change = merged.join(
                 edges.select("query_id", "neighbor_id"),

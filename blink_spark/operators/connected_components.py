@@ -38,31 +38,44 @@ def _local_checkpoint(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-def make_parquet_checkpointer(scratch_dir: str, keep_last: int = 2):
+def make_parquet_checkpointer(scratch_dir: str, keep_last: int = 2, name: str = "cc_iter"):
     """Per-iteration checkpointer backed by scratch parquet. Preferred
     over localCheckpoint: measured on this host, the local block store
-    burns ~100x CPU per row for these tables, and on a real cluster a
-    durable per-iteration table is what lets a killed CC loop resume.
+    burns ~100x CPU per row for these tables; on a real cluster
+    localCheckpoint blocks are executor-memory-resident and
+    non-durable — one lost executor kills the whole iterative job,
+    while a parquet iteration table lets it resume.
 
     Only the last ``keep_last`` iteration tables are retained — once
     iteration N is durably written, N - keep_last can no longer be an
-    input to anything, so it's deleted (previously every iteration
-    accumulated for the life of the store/scratch dir)."""
+    input to anything, so it's deleted. ``name`` namespaces the
+    iteration files: loops that interleave two checkpoint streams
+    (e.g. Boruvka's component labels + forest) need separate counters
+    so one stream's GC never deletes the other's live table."""
     import shutil
 
     counter = {"n": 0}
 
     def ckpt(df: DataFrame) -> DataFrame:
         counter["n"] += 1
-        path = f"{scratch_dir}/cc_iter_{counter['n']}"
+        path = f"{scratch_dir}/{name}_{counter['n']}"
         df.write.mode("overwrite").parquet(path)
         out = df.sparkSession.read.parquet(path)
         stale = counter["n"] - keep_last
         if stale >= 1:
-            shutil.rmtree(f"{scratch_dir}/cc_iter_{stale}", ignore_errors=True)
+            shutil.rmtree(f"{scratch_dir}/{name}_{stale}", ignore_errors=True)
         return out
 
     return ckpt
+
+
+def scratch_parquet_checkpointer(name: str = "cc_iter", keep_last: int = 2):
+    """A parquet checkpointer on a fresh session-scoped scratch dir
+    (removed at interpreter exit) — the default for every iterative
+    operator when the caller doesn't supply a durable location."""
+    from blink_spark.io.scratch import scratch_dir
+
+    return make_parquet_checkpointer(scratch_dir(), keep_last=keep_last, name=name)
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -127,7 +140,10 @@ def connected_components(
     if stats is None:
         stats = CCStats()
     stats.algorithm = algorithm
-    ckpt = checkpoint_fn or _local_checkpoint
+    # default is DURABLE: scratch parquet, never localCheckpoint (see
+    # make_parquet_checkpointer; io/scratch.py documents the measured
+    # ~100x local-block-store CPU cost)
+    ckpt = checkpoint_fn or scratch_parquet_checkpointer()
     if algorithm == "alternating":
         return _cc_alternating(edges, max_iterations, stats, ckpt)
     if algorithm == "hashmin":
@@ -190,7 +206,12 @@ def _cc_alternating_loop(cur: DataFrame, max_iterations: int, stats: CCStats, _c
 
 
 def _cc_hashmin(edges: DataFrame, max_iterations: int, stats: CCStats, _checkpoint) -> DataFrame:
-    sym = _checkpoint(_symmetrize(edges).distinct())
+    # sym is STATIC input read by every iteration — it must live
+    # outside the checkpointer's keep_last rotation (which would GC it
+    # after two label checkpoints); one non-rotating scratch spill
+    from blink_spark.io.scratch import spill_scratch
+
+    sym, _ = spill_scratch(_symmetrize(edges).distinct(), "cc_hashmin_sym")
     labels = sym.select(F.col("u").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )

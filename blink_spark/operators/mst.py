@@ -114,7 +114,9 @@ def max_spanning_forest_per_component(
 
 # ---------------------------------------------------- distributed Borůvka
 
-def max_spanning_forest(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+def max_spanning_forest(
+    edges: DataFrame, max_rounds: int = 30, checkpoint_fn=None
+) -> DataFrame:
     """Distributed Borůvka: edges(src, dst, score) -> maximum spanning
     forest (src, dst, score) with src < dst.
 
@@ -125,7 +127,22 @@ def max_spanning_forest(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
     component graph — tiny: one edge per component). Components at
     least halve per round -> O(log n) rounds; every step is a
     DataFrame op, nothing is collected to the driver except the
-    convergence counter."""
+    convergence counter.
+
+    Per-round state (labels + forest) is checkpointed DURABLY
+    (scratch parquet by default, like connected_components — never
+    localCheckpoint, whose executor-resident blocks die with a lost
+    executor). ``checkpoint_fn`` takes a name and returns a
+    checkpointer when the caller wants a specific durable location:
+    ``checkpoint_fn=lambda name: make_parquet_checkpointer(dir, name=name)``."""
+    from blink_spark.operators.connected_components import (
+        scratch_parquet_checkpointer,
+    )
+
+    mk = checkpoint_fn or scratch_parquet_checkpointer
+    ck_comp = mk("boruvka_comp")
+    ck_forest = mk("boruvka_forest")
+    ck_cc = mk("boruvka_cc")
     spark = edges.sparkSession
     # canonical undirected edges, deduped to best score per pair
     e = (
@@ -138,6 +155,9 @@ def max_spanning_forest(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
         .groupBy("u", "v")
         .agg(F.max("score").alias("score"))
     )
+    # e is re-joined EVERY round; one durable spill stops each round
+    # from recomputing the (possibly expensive) upstream edge lineage
+    e = mk("boruvka_edges")(e)
     # comp: node -> component label (min node id of the tree so far)
     comp = (
         e.select(F.col("u").alias("node"))
@@ -184,7 +204,7 @@ def max_spanning_forest(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
             .join(comp.select(F.col("node").alias("v"), F.col("comp").alias("id_b")), "v")
             .select("id_a", "id_b")
         )
-        merged = connected_components(cedges)
+        merged = connected_components(cedges, checkpoint_fn=ck_cc)
         comp = (
             comp.join(
                 merged.select(F.col("id").alias("comp"), F.col("component").alias("new")),
@@ -193,8 +213,8 @@ def max_spanning_forest(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
             )
             .select("node", F.coalesce("new", "comp").alias("comp"))
         )
-        comp = comp.localCheckpoint(eager=True)
-        forest = forest.localCheckpoint(eager=True)
+        comp = ck_comp(comp)
+        forest = ck_forest(forest)
     if not converged and not (
         e.join(comp.select(F.col("node").alias("u"), F.col("comp").alias("cu")), "u")
         .join(comp.select(F.col("node").alias("v"), F.col("comp").alias("cv")), "v")

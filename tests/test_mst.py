@@ -149,3 +149,18 @@ def test_group_col_fast_path_equals_cc_path(spark):
         ).collect()
     }
     assert fast == slow
+
+
+def test_boruvka_truncation_raises(spark):
+    """Exhausting max_rounds with cross-component edges left must raise
+    (a silently partial forest is indistinguishable from convergence)."""
+    import pytest as _pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1, 0.5 + (i % 3) * 0.1) for i in range(40)],
+        "src long, dst long, score double",
+    )
+    from blink_spark.operators.mst import max_spanning_forest
+
+    with _pytest.raises(RuntimeError, match="non-spanning"):
+        max_spanning_forest(edges, max_rounds=1)

@@ -108,7 +108,11 @@ def test_mst_boruvka_plan_has_no_cartesian(spark):
         [(i, i + 1, 0.5 + (i % 3) * 0.1) for i in range(40)],
         "src long, dst long, score double",
     )
-    plan = _plan(max_spanning_forest(edges, max_rounds=1))
+    # run to convergence (max_rounds=1 on a 41-node chain now raises
+    # instead of silently returning a partial forest); the per-round
+    # joins execute eagerly through the durable checkpointer, so a
+    # cartesian would have materialized here
+    plan = _plan(max_spanning_forest(edges))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
