@@ -614,6 +614,55 @@ def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_minhash_lsh_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME near-dup flow as dedup_minhash_lsh (shingle -> MinHash
+    -> band -> salted block join -> exact-Jaccard verify) with the
+    md5-parity signature kernel, so DuckDB reproduces the whole
+    operator value-for-value — converts the MinHash-LSH dedup family
+    from rows-only to hash-green."""
+    return dedup.minhash_lsh_dup_pairs_parity(
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.5, shingle_k=3
+    )
+
+
+def _shingle3_sql(toks: str) -> str:
+    """DuckDB twin of functions.text.shingles(k=3): duplicates kept,
+    n<=k collapses to one joined shingle, n=0 -> empty list."""
+    return (
+        f"CASE WHEN len({toks}) = 0 THEN []::VARCHAR[] "
+        f"WHEN len({toks}) <= 3 THEN [array_to_string({toks}, ' ')] "
+        f"ELSE list_transform(generate_series(1, len({toks}) - 2), "
+        f"i -> {toks}[i] || ' ' || {toks}[i + 1] || ' ' || {toks}[i + 2]) END"
+    )
+
+
+def _dedup_minhash_lsh_parity_sql() -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT lang, {b} AS band, "
+        f"{parity_band_key_sql('sig', b, _PARITY_ROWS)} AS bkey, doc_id FROM s"
+        for b in range(_PARITY_BANDS)
+    )
+    jac = f"(floor(({_jaccard_sql('sa.shd', 'sb.shd')}) * 1000000.0 + 0.5) / 1000000.0)"
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+), s0 AS (
+  SELECT doc_id, lang, {_shingle3_sql('toks')} AS sh FROM t
+), s AS (
+  SELECT doc_id, lang, list_distinct(sh) AS shd,
+         {parity_minhash_sql('sh', _N_PARITY_HASHES)} AS sig
+  FROM s0
+), k AS ({band_selects}), p AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM k a JOIN k b ON a.lang = b.lang AND a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b, {jac} AS jaccard
+FROM p JOIN s sa ON p.id_a = sa.doc_id JOIN s sb ON p.id_b = sb.doc_id
+WHERE {jac} >= 0.5
+"""
+
+
 # ====================================================================== ANN
 
 def _ann_queries(df: DataFrame) -> DataFrame:
@@ -1523,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _dedup_embedding,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_minhash_lsh_parity": _dedup_minhash_lsh_parity,
         "dedup_keep_representatives": _dedup_keep_reps,
         "dedup_decontaminate": _dedup_decontaminate,
         # similarity search
@@ -1581,7 +1631,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_fingerprints": _DEDUP_SIMHASH_FP_SQL,
         "dedup_simhash_pairs": _DEDUP_SIMHASH_PAIRS_SQL,
         "dedup_embedding_cosine": _DEDUP_EMBEDDING_SQL,
-        # dedup_minhash_lsh: xxhash64 — rows-only
+        # dedup_minhash_lsh: xxhash64 — rows-only (the identical flow
+        # is value-oracled by the md5-parity twin right below)
+        "dedup_minhash_lsh_parity": _dedup_minhash_lsh_parity_sql(),
         "dedup_keep_representatives": _DEDUP_KEEP_REPS_SQL,
         "dedup_decontaminate": _DEDUP_DECON_SQL,
         "ann_cosine_topk": _ANN_COSINE_SQL,

@@ -115,6 +115,69 @@ def minhash_lsh_dup_pairs(
     )
 
 
+def minhash_lsh_dup_pairs_parity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = "lang",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    jaccard_threshold: float = 0.5,
+    pair_budget: int = 5_000_000,
+) -> DataFrame:
+    """SQL-parity twin of :func:`minhash_lsh_dup_pairs`: the SAME
+    pipeline shape (fused signatures -> band keys -> one spill ->
+    salted blocking -> pair join -> exact-Jaccard verify) with the
+    md5-over-prime-field MinHash (functions.minhash parity helpers)
+    instead of the xxhash64 Arrow kernel, so a DuckDB oracle can
+    reproduce the FULL near-dup flow value-for-value — the engine-hash
+    production kernel stays rows-only, the algorithm itself is now
+    value-checked end-to-end. Slower per doc (the md5 portability tax
+    noted on er_lsh_band_pairs); use the xxhash variant in production."""
+    from blink_spark.functions.minhash import (
+        parity_band_key_expr,
+        parity_minhash_expr,
+    )
+    from blink_spark.io.scratch import spill_scratch
+
+    grp = F.col(group_col) if group_col else F.lit("all")
+    base = (
+        df.select(
+            F.col(id_col).alias("file_id"),
+            grp.alias("grp"),
+            text.shingles(text.tokenize(text_col), shingle_k).alias("sh"),
+        )
+        .withColumn("sig", F.expr(parity_minhash_expr("sh", num_hashes)))
+        .select("file_id", "grp", F.array_distinct("sh").alias("shd"), "sig")
+    )
+    base, _ = spill_scratch(base, "minhash_parity_sig")
+    keyed = None
+    for b in range(bands):
+        kb = base.select(
+            F.concat_ws(
+                "|",
+                F.col("grp"),
+                F.lit(b),
+                F.expr(parity_band_key_expr("sig", b, rows_per_band)),
+            ).alias("block_key"),
+            "file_id",
+        )
+        keyed = kb if keyed is None else keyed.unionByName(kb)
+    blocks = blocking.salt_hot_blocks(keyed, "file_id", pair_budget)
+    pairs = candidate_pairs(blocks, "file_id")
+    fa = base.select(F.col("file_id").alias("id_a"), F.col("shd").alias("sh_a"))
+    fb = base.select(F.col("file_id").alias("id_b"), F.col("shd").alias("sh_b"))
+    jac = qround(token_set_jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+    return (
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
 # ---------------------------------------------------------- ngram jaccard
 
 def ngram_jaccard_pairs(

@@ -21,6 +21,7 @@ FAST_QUERIES = [
     "er_exact_dup_groups",
     "er_pair_scores",
     "dedup_simhash_fingerprints",
+    "dedup_minhash_lsh_parity",
     "text_quality",
     "text_fingerprint",
     "mm_frame_sample",
