@@ -384,7 +384,7 @@ def _link_topk_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _link_scored(spark, sf_dir).where(F.col("rank") <= 3)
 
 
-def _link_sql(rank_pred: str) -> str:
+def _link_sql(rank_pred: str, entity_pred: str = "TRUE") -> str:
     return f"""
 WITH d AS (
   SELECT doc_id, lang, source, substr(text, 1, 40) AS head, {_TOKS} AS toks
@@ -395,7 +395,7 @@ WITH d AS (
          (floor(({_jaccard_sql('m.toks', 'e.toks')}) * 1000000.0 + 0.5) / 1000000.0) AS jaccard,
          (floor(({_tf_cosine_sql('m.toks', 'e.toks')}) * 1000000.0 + 0.5) / 1000000.0) AS cosine
   FROM d m JOIN d e ON m.lang = e.lang AND m.source = e.source
-  WHERE m.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
+  WHERE m.doc_id % 7 <> 0 AND e.doc_id % 7 = 0 AND ({entity_pred})
 ), s AS (
   SELECT *,
          (floor((0.2 * jw + 0.4 * jaccard + 0.4 * cosine) * 1000000.0 + 0.5) / 1000000.0) AS score
@@ -425,6 +425,35 @@ def _link_best_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINK_BEST_SQL = f"""
 SELECT mention_id, entity_id, score
 FROM ({_link_sql('rank = 1')})
+"""
+
+
+def _discover_reattach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 entity-discovery re-attachment
+    (eval_entity_discovery.py:246-308): drop half the catalogue (every
+    other entity) via an F7 anti-join, then re-attach each mention to
+    its best SURVIVING entity — the reference's
+    nearest-surviving-entity fetch expressed as anti-join + window."""
+    dropped = (
+        _t(spark, sf_dir, "documents")
+        .where(
+            (F.col("doc_id") % 7 == 0)
+            & ((F.col("doc_id") / 7).cast("long") % 2 == 0)
+        )
+        .select(F.col("doc_id").alias("entity_id"))
+    )
+    surv = _link_scored(spark, sf_dir).join(dropped, "entity_id", "left_anti")
+    w = W.partitionBy("mention_id").orderBy(F.desc("score"), F.asc("entity_id"))
+    return (
+        surv.withColumn("srk", F.row_number().over(w))
+        .where(F.col("srk") == 1)
+        .select("mention_id", "entity_id", "score")
+    )
+
+
+_DISCOVER_REATTACH_SQL = f"""
+SELECT mention_id, entity_id, score
+FROM ({_link_sql('rank = 1', '(e.doc_id // 7) % 2 = 1')})
 """
 
 
@@ -1560,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_best_entity": _link_best_entity,
         "link_clusters": _link_clusters,
         "link_partition_chain": _link_partition_chain,
+        "discover_reattach": _discover_reattach,
         # graph ops (G3) + threshold selection (A7)
         "graph_mst_forest": _graph_mst_forest,
         "rel_kmeans2_threshold": _rel_kmeans2_threshold,
@@ -1623,6 +1653,7 @@ def oracle_sql() -> dict[str, str]:
         # gates); the greedy ITSELF is value-oracled by the analytic
         # link_partition_chain fixture below
         "link_partition_chain": _LINK_PARTITION_CHAIN_SQL,
+        "discover_reattach": _DISCOVER_REATTACH_SQL,
         "graph_mst_forest": _GRAPH_MST_SQL,
         "rel_kmeans2_threshold": _rel_kmeans2_sql(),
         "dedup_exact_substring": _DEDUP_EXACT_SUBSTRING_SQL,

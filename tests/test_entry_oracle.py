@@ -26,6 +26,7 @@ FAST_QUERIES = [
     "text_fingerprint",
     "mm_frame_sample",
     "link_partition_chain",
+    "discover_reattach",
     "rel_agg_q1",
     "rel_topk_window",
     "rel_minmax_scale",
