@@ -1553,6 +1553,27 @@ FROM g WHERE gsz = 4
 """
 
 
+def _eval_dendrogram_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 HAC dendrogram purity (dendrogram_purity.py:295-311) over the
+    deterministic chain+skip graph, gold classes = the documents
+    `source` column. Rows-only: HAC is not SQL-expressible; the kernel
+    is oracled in pytest against a brute-force LCA implementation at
+    1e-9 (tests/test_dendrogram.py)."""
+    from blink_spark.operators.dendrogram import dendrogram_purity
+
+    out_rows = []
+    edges = _graph_edges(spark, sf_dir)
+    labels = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    for linkage in ("single", "complete", "average"):
+        r = dendrogram_purity(
+            edges, labels, linkage=linkage, label_cols=("doc_id", "source")
+        )
+        out_rows.append((linkage, float(r["purity"]), int(r["n_leaves"])))
+    return spark.createDataFrame(
+        out_rows, "linkage string, purity double, n_leaves long"
+    )
+
+
 def _rel_kmeans2_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 threshold selection, KMeans-style
     (crossencoder/eval_cluster_linking.py:211-215, 233-235): exact 1-D
@@ -1633,8 +1654,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_quantile_threshold": _rel_quantile_threshold,
         "rel_gold_rank": _rel_gold_rank,
         "rel_cluster_hist": _rel_cluster_hist,
-        # clustering-quality eval (A5, exact-integer ARI components)
+        # clustering-quality eval (A5, exact-integer ARI components;
+        # G8 dendrogram purity)
         "eval_ari_components": _eval_ari_components,
+        "eval_dendrogram_purity": _eval_dendrogram_purity,
     }
 
 
