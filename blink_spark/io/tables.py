@@ -35,6 +35,14 @@ class StageStore:
     def path(self, name: str) -> str:
         return f"{self.base}/{name}"
 
+    def sub(self, namespace: str) -> "StageStore":
+        """A StageStore rooted at a sub-namespace of this one. Flows
+        with DIFFERENT stage semantics but the same stage NAMES (e.g.
+        a linking run's s0..s2 over mentions+catalogue vs a dedup
+        run's over one corpus) must not resume each other's tables —
+        callers namespace instead of sharing the root."""
+        return StageStore(self.spark, self.path(namespace), fmt=self.fmt)
+
     # -- existence via Hadoop FS (works for file://, hdfs://, s3a://) --
     def _fs(self):
         if self._jvm_fs is None:

@@ -94,7 +94,14 @@ class LinkPipeline:
     ) -> tuple[DataFrame, DataFrame, DataFrame]:
         """Run the shared blocked/scored stages over mentions UNION
         catalogue. Returns (scores, mention_ids, entity_ids) where
-        scores has entity flags attached to both endpoints."""
+        scores has entity flags attached to both endpoints.
+
+        The store is auto-namespaced under ``link``: the shared
+        s0..s2 stage names would otherwise resume a SELF-DEDUP run's
+        scored pairs (computed without catalogue rows) and link
+        nothing — enforced here, not just documented."""
+        if store is not None:
+            store = store.sub("link")
         pipe = ERPipeline(self.cfg)
         files = mentions.unionByName(catalogue)
         er = pipe.run(files, store=store, resume=resume, until="score")
@@ -193,11 +200,11 @@ class LinkPipeline:
         ['directed', 'undirected']): each component is G3-filtered to
         its max spanning forest and symmetrized before the greedy.
 
-        ``store`` must NOT be a root previously used for a self-dedup
-        run: the shared s0..s2 stage-table names would resume the
-        dedup run's scored pairs (computed without catalogue rows)
-        and link nothing. Use a fresh root or a sub-namespace, as the
-        CLI does (``<output>/link_stages``)."""
+        Sharing a root with a previous self-dedup run is safe:
+        score_joint auto-namespaces every store it receives under
+        ``link`` (pinned by test), so the dedup run's s0..s2 tables
+        can never be resumed into a linking run. Outputs written here
+        (``link_pred``) stay at the caller's root."""
         res = LinkResult()
         flagged, men_ids, ent_ids = self.score_joint(
             mentions, catalogue, store=store, resume=resume

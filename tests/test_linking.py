@@ -348,3 +348,22 @@ def test_linking_undirected_graph_mode(spark, link_fixture):
         .count()
     )
     assert ents == 0
+
+
+def test_link_store_not_poisoned_by_dedup_run(spark, link_fixture, tmp_path):
+    """A store root previously used by a SELF-DEDUP run must not leak
+    its s0..s2 tables into a linking run (score_joint auto-namespaces
+    under link/): resuming dedup-scored pairs would silently link
+    nothing."""
+    from blink_spark.io.tables import StageStore
+    from blink_spark.pipeline import ERPipeline
+
+    mentions, catalogue, gold, _ = link_fixture
+    store = StageStore(spark, str(tmp_path / "root"))
+    ERPipeline(CFG).run(mentions, store=store, until="score")
+    assert store.exists("s2_scores")  # the poisoned tables are there
+    res = LinkPipeline(CFG, mention_knn=2).run(mentions, catalogue, store=store)
+    acc = beval.linking_accuracy(res.tables["pred"], gold)
+    assert acc["accuracy"] >= 0.98, acc
+    # and the linking stages landed in their own namespace
+    assert store.sub("link").exists("s2_scores")
