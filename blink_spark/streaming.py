@@ -252,3 +252,24 @@ def resolve_assignments(assignments: DataFrame) -> DataFrame:
             "file_id", F.coalesce("cluster_id", F.col("file_id")).alias("cluster_id")
         )
     )
+
+
+def resolve_assignments_transitive(assignments: DataFrame) -> DataFrame:
+    """Batch-parity resolution: treat the per-band (file, rep) matches
+    as EDGES and close them transitively with connected components —
+    the same stage-3 semantics as the batch pipeline, so a streamed
+    corpus and a batch run produce the same PARTITION (cluster labels
+    = min member id, like assign_clusters). resolve_assignments is the
+    cheaper per-file argmax; use this one when stream output must be
+    compared to / unioned with batch clusters."""
+    from blink_spark.operators.connected_components import (
+        assign_clusters,
+        connected_components,
+    )
+
+    edges = (
+        assignments.where(F.col("rep_id") != F.col("file_id"))
+        .select(F.col("file_id").alias("id_a"), F.col("rep_id").alias("id_b"))
+    )
+    all_ids = assignments.select("file_id").distinct()
+    return assign_clusters(all_ids, connected_components(edges), id_col="file_id")

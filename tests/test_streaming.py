@@ -24,6 +24,35 @@ def _write_batch(spark, d, rows, n):
     return n
 
 
+def _drain_and_stop(q, timeout=120):
+    """Wait for an availableNow query to finish its data, then stop it.
+
+    Plain stateless availableNow queries self-terminate; queries with
+    applyInPandasWithState + ProcessingTimeTimeout do NOT (the pending
+    state timeout keeps the trigger alive), so awaitTermination alone
+    burns its full timeout. Poll until a zero-input batch has committed
+    with no data available, then stop() — every data batch is already
+    durably committed at that point, and the checkpoint resumes
+    cleanly on the next run."""
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if q.awaitTermination(2):
+            return
+        lp = q.lastProgress
+        st = q.status or {}
+        # after the data is processed the query spins zero-input
+        # "cleaning up state" batches indefinitely (isTriggerActive
+        # stays True), so that flag must NOT gate the exit
+        if (
+            lp is not None
+            and lp.get("numInputRows", 1) == 0
+            and not st.get("isDataAvailable", True)
+        ):
+            break
+    q.stop()
+    q.awaitTermination(30)
+
+
 def _run_available_now(df, name, ckpt):
     q = (
         df.writeStream.format("memory")
@@ -156,7 +185,7 @@ def test_incremental_assign_stateful(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        _drain_and_stop(q, 180)
 
     _write_batch(spark, src, [_row(1, base), _row(2, other)], 2)
     run_once()
@@ -194,3 +223,81 @@ def test_incremental_assign_stateful(spark, tmp_path):
     assert final[f2] not in (final[f1],)   # distinct content stays separate
     assert final[f4] == f4                 # novel file is its own representative
     assert final[f1] == f1                 # first arrival is the representative
+
+
+def test_stream_batch_equivalence(spark, tmp_path):
+    """The round-3 parity gate: streaming the corpus in two arrival
+    waves (exact_dedup_stream + incremental_assign_stream with durable
+    state) must produce the same dedup survivors and the same cluster
+    PARTITION as the batch pipeline over the identical corpus."""
+    import datetime
+
+    from blink_spark import eval as beval
+    from blink_spark.functions import text as tx
+    from blink_spark.functions.textstats import norm_sha256
+    from blink_spark.pipeline import ERPipeline
+
+    corpus = generate_files(spark, n_entities=12, seed=31).cache()
+    corpus.count()
+    five = corpus.select("repo", "path", "commit", "lang", "content")
+
+    # ---- batch side -------------------------------------------------
+    batch = ERPipeline(CFG).run(five)
+    batch_clusters = batch.tables["s3_clusters"].select("file_id", "cluster_id").cache()
+    batch_clusters.count()
+    batch_shas = {
+        r["s"] for r in five.select(norm_sha256("content").alias("s")).distinct().collect()
+    }
+
+    # ---- stream side: two arrival waves, shared checkpoints ---------
+    src = tmp_path / "in_eq"
+    src.mkdir()
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        (r["repo"], r["path"], r["commit"], r["lang"], r["content"], ts)
+        for r in five.collect()
+    ]
+    half = len(rows) // 2
+
+    def run_wave(wave_rows):
+        _write_batch(spark, src, wave_rows, len(wave_rows))
+        stream = spark.readStream.schema(FILES_SCHEMA).parquet(str(src))
+        s0 = bs.normalize_stream(stream, CFG)
+        dq = (
+            bs.exact_dedup_stream(s0)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "dedup_out"))
+            .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        aq = (
+            bs.incremental_assign_stream(
+                bs.signature_stream(s0, CFG), jaccard_threshold=0.3
+            )
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "assign_out"))
+            .option("checkpointLocation", str(tmp_path / "assign_ckpt"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        dq.awaitTermination(180)  # stateless: self-terminates
+        _drain_and_stop(aq, 180)
+
+    run_wave(rows[:half])
+    run_wave(rows[half:])
+
+    # survivors: exactly one per normalized-content group
+    surv = spark.read.parquet(str(tmp_path / "dedup_out"))
+    surv_shas = [r["norm_sha"] for r in surv.select("norm_sha").collect()]
+    assert sorted(surv_shas) == sorted(set(surv_shas))  # one each
+    assert set(surv_shas) == batch_shas
+
+    # clusters: transitive resolution must equal the batch partition
+    stream_clusters = bs.resolve_assignments_transitive(
+        spark.read.parquet(str(tmp_path / "assign_out"))
+    )
+    m = beval.pairwise_metrics(
+        stream_clusters,
+        batch_clusters.select("file_id", F.col("cluster_id").alias("entity_id")),
+    )
+    assert m["f1"] == 1.0, m
+    assert stream_clusters.count() == five.count()
