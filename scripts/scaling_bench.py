@@ -130,6 +130,47 @@ def summarize(levels: tuple[int, int], results: dict) -> dict:
     }
 
 
+def _calib_worker(_: int) -> float:
+    """Fixed single-thread CPU+memory workload (same spirit as
+    bench.calibrate_host): hash 256 MiB + interpreter loop."""
+    import hashlib
+
+    t0 = time.time()
+    h = hashlib.sha256()
+    blob = bytes(range(256)) * (1 << 18)
+    for _ in range(4):
+        h.update(blob)
+    acc = 0
+    for i in range(3_000_000):
+        acc = (acc * 31 + i) & 0xFFFFFFFF
+    return time.time() - t0
+
+
+def hardware_ceiling(levels: tuple[int, int], trials: int = 3) -> dict:
+    """What the MACHINE itself gives when N independent processes run
+    the same fixed CPU workload concurrently — no Spark, no engine.
+    On one box, per-core speed at N processes < at 1 process (turbo
+    boost differential + shared memory bandwidth/LLC), so a perfectly
+    parallel plan cannot reach N/1 speedup here; a real cluster adds
+    those resources with every executor. machine_parallel_eff(L) =
+    median t(1 proc) / median per-proc t(L procs); the plan-scaling
+    number = raw efficiency / machine_parallel_eff(4N)/..(N)."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    def level_time(nproc: int) -> float:
+        times = []
+        for _ in range(trials):
+            with ProcessPoolExecutor(max_workers=nproc) as ex:
+                per_proc = list(ex.map(_calib_worker, range(nproc)))
+            times.append(sorted(per_proc)[len(per_proc) // 2])
+        return sorted(times)[len(times) // 2]
+
+    t = {lvl: round(level_time(lvl), 3) for lvl in sorted(set((1,) + tuple(levels)))}
+    eff = {str(lvl): round(t[1] / t[lvl], 3) for lvl in t}
+    return {"per_proc_sec": {str(k): v for k, v in t.items()},
+            "machine_parallel_eff": eff}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--child", type=int, default=None)
@@ -137,6 +178,8 @@ def main() -> int:
     ap.add_argument("--levels", type=int, nargs=2, default=(2, 8))
     ap.add_argument("--keep-input", default=None,
                     help="reuse/retain this corpus dir instead of a temp one")
+    ap.add_argument("--ceiling", action="store_true",
+                    help="also measure the machine's no-Spark parallel ceiling")
     args = ap.parse_args()
 
     if args.child is not None:
@@ -160,6 +203,17 @@ def main() -> int:
             results[cores] = json.loads(line)
             print(json.dumps(results[cores]))
         summary = summarize(tuple(args.levels), results)
+        if args.ceiling:
+            ceil = hardware_ceiling(tuple(args.levels))
+            summary["hardware_ceiling"] = ceil
+            effs = ceil["machine_parallel_eff"]
+            m = (
+                float(effs[str(args.levels[1])])
+                / float(effs[str(args.levels[0])])
+            )
+            summary["plan_efficiency_vs_machine_ceiling"] = round(
+                summary["scaling_efficiency"] / m, 3
+            ) if m else None
         print(json.dumps(summary))
         return 0 if (summary["clusters_identical"]
                      and summary["scaling_efficiency"] >= 0.8) else 1
