@@ -94,16 +94,27 @@ def main() -> int:
         "dedup_decontaminate",
         "mm_byte_features",
     ]
-    for name in headline:
+    # round-3 additions, timed in the same cold pass; kept out of the
+    # round-2-comparable subtotal so round-over-round stays honest
+    round3 = [
+        "link_partition_chain",
+        "dedup_minhash_lsh_parity",
+        "discover_reattach",
+    ]
+    for name in headline + round3:
         t0 = time.time()
         materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    r2_subset = round(
+        timings["er_e2e"] + sum(timings[n] for n in headline), 3
+    )
     out = {
         "metric": "headline_suite_sec",
         "value": total,
         "unit": "sec",
+        "value_r2_comparable": r2_subset,
         "queries": timings,
         "sf": sf,
         "cores": cpus,
@@ -128,9 +139,14 @@ def main() -> int:
     #   re-measured each round on that round's VM — THIS is the
     #   north-rule number. See scripts/scaling_bench.py for why the
     #   smoke levels are 2 vs 8 on a single-JVM host.
+    # The scaling blobs print as their OWN earlier line: round 2's
+    # single giant line buried the per-query map past the driver's
+    # tail capture (BENCH_r02.json parsed: null). The LAST stdout line
+    # is now always the compact headline object.
     if os.environ.get("BENCH_SCALING", "1") != "0":
         import subprocess
 
+        scaling: dict = {"artifact": "scaling"}
         env = dict(
             os.environ,
             SCALE_ENTITIES=os.environ.get("BENCH_SCALE_ENTITIES", "24000"),
@@ -152,13 +168,22 @@ def main() -> int:
                 "local-mode latency — scaling_full_size is the "
                 "compute-dominated north-rule measurement"
             )
-            out["scaling_smoke_small"] = smoke
+            scaling["scaling_smoke_small"] = smoke
         except Exception as e:  # never lose the headline numbers
-            out["scaling_smoke_small"] = {"error": str(e)[:200]}
+            scaling["scaling_smoke_small"] = {"error": str(e)[:200]}
         full = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
         if os.path.exists(full):
             with open(full) as fh:
-                out["scaling_full_size"] = json.load(fh)
+                scaling["scaling_full_size"] = json.load(fh)
+        print(json.dumps(scaling))
+        # headline keeps only the two scalar verdicts for convenience
+        eff = (
+            scaling.get("scaling_full_size", {})
+            .get("headline", {})
+            .get("scaling_efficiency")
+        )
+        if eff is not None:
+            out["scaling_full_efficiency"] = eff
 
     print(json.dumps(out))
     return 0
