@@ -60,17 +60,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--recall-k", type=int, default=8)
     p.add_argument("--graph-mode", default="directed",
                    choices=["directed", "undirected"])
+    # ---- entity-discovery experiment (G9, eval_entity_discovery.py) ----
+    p.add_argument("--discover-drop", type=float, default=None,
+                   help="run the DISCOVERY experiment: drop this fraction "
+                        "of catalogue entities (1.0 = drop all), re-attach "
+                        "mentions to nearest survivors, sweep thresholds, "
+                        "report NMI/ARI. Needs gold: --synthetic-catalogue "
+                        "--eval-gold, or --gold")
+    p.add_argument("--gold", default=None,
+                   help="parquet table (file_id, entity_id) of gold labels "
+                        "for --discover-drop with a real catalogue")
+    p.add_argument("--n-thresholds", type=int, default=5)
     return p
 
 
-def run_linking(spark, args, cfg, files, store) -> dict:
-    """LINKING mode: retrieve -> rerank -> entity-constrained assign
-    (the reference's primary product, main_dense.py / analyzeClusters)."""
+def _load_catalogue(spark, args, files):
+    """Returns (mentions5, catalogue5, gold_or_None) — shared by the
+    linking and discovery modes."""
     from pyspark.sql import functions as F
 
-    from blink_spark.eval import linking_accuracy
     from blink_spark.io.catalogue import catalogue_as_files, load_catalogue_jsonl
-    from blink_spark.linking import LinkPipeline
 
     gold = None
     if args.synthetic_catalogue:
@@ -85,12 +94,64 @@ def run_linking(spark, args, cfg, files, store) -> dict:
             gold = ment_gold.join(cat_ids, "entity_id").select(
                 "file_id", F.col("cat_fid").alias("entity_id")
             )
-    elif args.catalogue.endswith(".jsonl"):
+    elif args.catalogue and args.catalogue.endswith(".jsonl"):
         catalogue = catalogue_as_files(load_catalogue_jsonl(spark, args.catalogue))
     else:
         catalogue = spark.read.format(args.input_format).load(args.catalogue)
-
+    if gold is None and args.gold:
+        gold = spark.read.format(args.input_format).load(args.gold)
     mentions = files.select("repo", "path", "commit", "lang", "content")
+    return mentions, catalogue, gold
+
+
+def run_discovery(spark, args, cfg, files, store) -> dict:
+    """DISCOVERY mode (G9): drop entities -> re-attach to nearest
+    survivor -> threshold sweep -> NMI/ARI argmax
+    (eval_entity_discovery.py:224-370)."""
+    from pyspark.sql import functions as F
+
+    from blink_spark.discovery import entity_discovery
+
+    mentions, catalogue, gold = _load_catalogue(spark, args, files)
+    if gold is None:
+        print("--discover-drop needs gold labels: use --synthetic-catalogue "
+              "--eval-gold, or pass --gold", file=sys.stderr)
+        raise SystemExit(2)
+    frac = float(args.discover_drop)
+    drop_all = frac >= 1.0
+    dropped = None
+    if not drop_all:
+        # deterministic proportional drop: hash-bucket the catalogue ids
+        fid = text.stable_file_id("repo", "path", "commit")
+        dropped = (
+            catalogue.select(fid.alias("entity_id"))
+            .where(F.pmod(F.xxhash64("entity_id", F.lit(7)), 100) < int(frac * 100))
+        )
+    res = entity_discovery(
+        mentions, catalogue, gold,
+        dropped=dropped, drop_all=drop_all, cfg=cfg,
+        mention_knn=args.mention_knn, n_thresholds=args.n_thresholds,
+        undirected=args.graph_mode == "undirected", store=store,
+    )
+    return {
+        "mode": "discover",
+        "drop_fraction": frac,
+        "drop_all": drop_all,
+        "graph_mode": args.graph_mode,
+        "best": res.best,
+        "sweep": [r.asDict() for r in res.results.orderBy("threshold").collect()],
+    }
+
+
+def run_linking(spark, args, cfg, files, store) -> dict:
+    """LINKING mode: retrieve -> rerank -> entity-constrained assign
+    (the reference's primary product, main_dense.py / analyzeClusters)."""
+    from pyspark.sql import functions as F
+
+    from blink_spark.eval import linking_accuracy
+    from blink_spark.linking import LinkPipeline
+
+    mentions, catalogue, gold = _load_catalogue(spark, args, files)
     # linking gets its OWN stage-table namespace: the shared s0..s2
     # table names would otherwise resume a prior DEDUP run's scored
     # pairs (computed without the catalogue rows) and silently link
@@ -148,6 +209,9 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     store = StageStore(spark, args.output)
+    if args.discover_drop is not None:
+        print(json.dumps(run_discovery(spark, args, cfg, files, store), default=str))
+        return 0
     if args.catalogue or args.synthetic_catalogue:
         print(json.dumps(run_linking(spark, args, cfg, files, store), default=str))
         return 0
