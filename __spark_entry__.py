@@ -736,6 +736,72 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_topk(emb, _ann_queries(emb), k=5, n_planes=8, n_tables=6, dim=64)
 
 
+def _ann_lsh_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN with md5-derived ±1 Rademacher planes (Achlioptas
+    2001) — the SAME bucket->equi-join->exact-rescore->top-k flow as
+    ann_lsh_topk, expressed so a DuckDB oracle reproduces it
+    value-for-value (plane entries are shared integer literals; the
+    sign decision and cosine use the same sequential folds both
+    engines already agree on). Converts the sign-LSH ANN family from
+    rows-only to hash-green; the gaussian-plane Arrow kernel stays the
+    production path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.lsh_topk_parity(
+        emb, _ann_queries(emb), k=5, n_planes=8, n_tables=6, dim=64
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    dot = f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    na = f"sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    nb = f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))"
+    return (
+        f"(floor((CASE WHEN {na} = 0 OR {nb} = 0 THEN 0.0 "
+        f"ELSE {dot} / ({na} * {nb}) END) * 1000000.0 + 0.5) / 1000000.0)"
+    )
+
+
+def _ann_lsh_parity_sql(n_planes: int = 8, n_tables: int = 6, dim: int = 64) -> str:
+    from blink_spark.operators.ann import rademacher_planes
+
+    planes = rademacher_planes(dim, n_planes, n_tables, 42)
+
+    def key_expr(t: int) -> str:
+        terms = []
+        for j in range(n_planes):
+            arr = "[" + ",".join(str(float(s)) for s in planes[t][j]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+                f"{arr}::DOUBLE[]) > 0 THEN {2 ** j} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    def keyed(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT vec_id, embedding, {t} AS table_id, {key_expr(t)} AS bucket "
+            f"FROM {src}"
+            for t in range(n_tables)
+        )
+
+    return f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+kq AS ({keyed('q')}),
+kc AS ({keyed('embeddings')}),
+scored AS (
+  SELECT DISTINCT kq.vec_id AS query_id, kc.vec_id AS neighbor_id,
+         {_cosine_sql('kq.embedding', 'kc.embedding')} AS cosine
+  FROM kq JOIN kc ON kq.table_id = kc.table_id AND kq.bucket = kc.bucket
+  WHERE kq.vec_id <> kc.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= 5
+"""
+
+
 def _ann_nnd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E7 graph-based ANN (NN-descent, Dong et al. WWW'11) — the
     distributed stand-in for the reference's HNSW index family;
@@ -1630,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_lsh_parity": _ann_lsh_parity,
         "ann_nnd_topk": _ann_nnd_topk,
         # text analysis
         "text_token_stats": _text_token_stats,
@@ -1691,7 +1758,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_representatives": _DEDUP_KEEP_REPS_SQL,
         "dedup_decontaminate": _DEDUP_DECON_SQL,
         "ann_cosine_topk": _ANN_COSINE_SQL,
-        # ann_ivf_topk / ann_lsh_topk: approximate — rows-only
+        # ann_ivf_topk / ann_lsh_topk: approximate engine-hash paths —
+        # rows-only; the sign-LSH FLOW is value-oracled by the
+        # Rademacher parity twin below
+        "ann_lsh_parity": _ann_lsh_parity_sql(),
         "text_token_stats": _TEXT_TOKEN_STATS_SQL,
         "text_langid": _TEXT_LANGID_SQL,
         "text_quality": _TEXT_QUALITY_SQL,

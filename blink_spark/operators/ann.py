@@ -25,7 +25,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql import Window as W
@@ -378,6 +378,97 @@ def lsh_topk(
         return df.select(F.col(id_col).alias(idn), F.col(vec_col).alias(vn)).select(
             idn, vn, F.posexplode(udf(F.col(vn))).alias("table_id", "bucket")
         )
+
+    q = queries if queries is not None else corpus
+    qs = keyed(q, "query_id", "q_vec")
+    cs = keyed(corpus, "neighbor_id", "c_vec")
+    scored = (
+        qs.join(cs, ["table_id", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            qround(array_cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return _topk_window(scored, k)
+
+
+def rademacher_planes(
+    dim: int, n_planes: int = 8, n_tables: int = 4, seed: int = 42
+) -> list[list[list[int]]]:
+    """±1 hyperplane entries derived from md5 — the database-friendly
+    random projection of Achlioptas (2001): sign-LSH quality matches
+    gaussian planes, and the entries are small integer LITERALS both
+    engines receive verbatim (no engine-side hashing, no float RNG).
+    [n_tables][n_planes][dim]."""
+    import hashlib
+
+    return [
+        [
+            [
+                1
+                if int(
+                    hashlib.md5(f"rp-{seed}-{t}-{j}-{i}".encode()).hexdigest()[:8],
+                    16,
+                )
+                & 1
+                else -1
+                for i in range(dim)
+            ]
+            for j in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def _plane_dot(vec: Column, plane: list[int]) -> Column:
+    """x · s for a constant ±1 plane, with the SAME sequential fold as
+    array_cosine so the DuckDB list_dot_product oracle reproduces the
+    sign decision bit-for-bit."""
+    arr = F.array(*[F.lit(float(s)) for s in plane])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda p, q: p.cast("double") * q),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def lsh_topk_parity(
+    corpus: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQL-reproducible twin of :func:`lsh_topk`: sign-LSH bucketing
+    with md5-derived ±1 planes as pure Column expressions (bucket bit
+    j = (x · s_tj) > 0, key = Σ bit_j·2^j), bucket equi-join, exact
+    cosine rescore, top-k window — the whole approximate-search flow a
+    DuckDB oracle can state value-for-value. The gaussian-plane Arrow
+    kernel (lsh_topk) stays the production path."""
+    planes = rademacher_planes(dim, n_planes, n_tables, seed)
+
+    def keyed(df: DataFrame, idn: str, vn: str) -> DataFrame:
+        base = df.select(F.col(id_col).alias(idn), F.col(vec_col).alias(vn))
+        out = None
+        for t in range(n_tables):
+            key = None
+            for j in range(n_planes):
+                bit = (_plane_dot(F.col(vn), planes[t][j]) > 0).cast("long") * F.lit(
+                    2**j
+                )
+                key = bit if key is None else key + bit
+            kb = base.select(
+                idn, vn, F.lit(t).alias("table_id"), key.alias("bucket")
+            )
+            out = kb if out is None else out.unionByName(kb)
+        return out
 
     q = queries if queries is not None else corpus
     qs = keyed(q, "query_id", "q_vec")

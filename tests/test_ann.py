@@ -115,3 +115,13 @@ def test_nn_descent_deterministic_across_partitioning(spark, emb):
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb
+
+
+def test_lsh_parity_recall_and_flow(spark, emb):
+    """The SQL-reproducible Rademacher sign-LSH must hit the same
+    recall floor as the gaussian-plane kernel (Achlioptas 2001: ±1
+    projections preserve the sign statistics)."""
+    exact = ann.cosine_topk(emb, k=5)
+    approx = ann.lsh_topk_parity(emb, k=5, n_planes=6, n_tables=8, dim=16)
+    r = ann.recall_vs_exact(approx, exact)
+    assert r >= 0.7, r
