@@ -1169,6 +1169,29 @@ def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mm_features_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The byte_features kernel's value witness: the raw 16-bin
+    payload-byte histogram as exact integers through the SAME
+    mapInPandas Arrow plumbing, reproduced by the oracle from text
+    code points (payloads are utf-8; the fixture is ASCII, where
+    bytes == code points — asserted by the n_bytes twin elsewhere).
+    Upgrades the mapInPandas feature stage from rows-only to
+    hash-green; byte_features = hist / sum(hist)."""
+    assets = multimodal.assets_from_documents(_t(spark, sf_dir, "documents"))
+    return multimodal.byte_histogram_str(assets)
+
+
+_MM_FEATURES_PARITY_SQL = (
+    "SELECT doc_id AS asset_id, "
+    + " || '-' || ".join(
+        f"len(list_filter(string_split(text, ''), "
+        f"c -> c <> '' AND unicode(c) // 16 = {b}))::VARCHAR"
+        for b in range(16)
+    )
+    + " AS hist FROM documents"
+)
+
+
 # =============================================== relational operator suite
 
 def _rel_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1709,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_asset_metadata": _mm_metadata,
         "mm_frame_sample": _mm_frames,
         "mm_byte_features": _mm_features,
+        "mm_byte_features_parity": _mm_features_parity,
         "mm_decode": _mm_decode,
         # relational operator suite (SURVEY §2.2, 2.5-2.8, 2.10)
         "rel_scan_filter_project": _rel_scan_filter_project,
@@ -1771,7 +1795,9 @@ def oracle_sql() -> dict[str, str]:
         "mm_asset_metadata": _MM_METADATA_SQL,
         "mm_frame_sample": _MM_FRAMES_SQL,
         "mm_decode": _MM_DECODE_SQL,
-        # mm_byte_features: mapInPandas — rows-only
+        # mm_byte_features: mapInPandas production shape — rows-only;
+        # the kernel's values are oracled by the integer-histogram twin
+        "mm_byte_features_parity": _MM_FEATURES_PARITY_SQL,
         "rel_scan_filter_project": _REL_SCAN_SQL,
         "rel_agg_q1": _REL_AGG_Q1_SQL,
         "rel_join_dims": _REL_JOIN_DIMS_SQL,

@@ -223,6 +223,31 @@ def byte_features(payload: bytes) -> np.ndarray:
     return hist / hist.sum()
 
 
+def byte_histogram_str(assets: DataFrame) -> DataFrame:
+    """mapInPandas witness for the byte_features kernel: the RAW 16-bin
+    payload-byte histogram as exact '-'-joined integers (byte_features
+    is this divided by its sum, so oracling the counts value-checks the
+    kernel with zero float-formatting risk). Same Arrow plumbing as
+    extract_features — one batch in, one out, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                if raw:
+                    arr = np.frombuffer(raw, dtype=np.uint8)
+                    hist = np.bincount(arr >> 4, minlength=N_FEATURES)
+                else:
+                    hist = np.zeros(N_FEATURES, dtype=np.int64)
+                rows.append("-".join(str(int(x)) for x in hist))
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "hist": rows})
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, "asset_id long, hist string"
+    )
+
+
 def decoded_features(decoded: dict) -> np.ndarray:
     """L1-normalized 16-bin histogram over DECODED content: pixel
     bytes for images, 16-bit sample magnitudes for audio — the same
