@@ -611,6 +611,46 @@ def _dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_embedding_lsh_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sign-LSH dedup FLOW (bucket equi-join + exact-cosine verify)
+    with md5-derived ±1 Rademacher planes, so the whole bucketed
+    near-dup path is value-reproducible in DuckDB — the gaussian-plane
+    production path (dedup_embedding_lsh) stays rows-only."""
+    return dedup.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, method="rademacher",
+        n_planes=8, n_tables=8, dim=64,
+    )
+
+
+def _dedup_embedding_lsh_parity_sql(
+    n_planes: int = 8, n_tables: int = 8, dim: int = 64
+) -> str:
+    from blink_spark.operators.ann import rademacher_planes
+
+    planes = rademacher_planes(dim, n_planes, n_tables, 42)
+
+    def key_expr(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+            f"[{','.join(str(float(s)) for s in planes[t][j])}]::DOUBLE[]) > 0 "
+            f"THEN {2 ** j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+
+    keyed = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS table_id, {key_expr(t)} AS bucket "
+        f"FROM embeddings"
+        for t in range(n_tables)
+    )
+    cos = _cosine_sql("a.embedding", "b.embedding")
+    return f"""
+WITH k AS ({keyed})
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+FROM k a JOIN k b ON a.table_id = b.table_id AND a.bucket = b.bucket
+WHERE a.vec_id < b.vec_id AND {cos} >= 0.3
+"""
+
+
 _DEDUP_EMBEDDING_SQL = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        (floor((CASE WHEN sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) = 0
@@ -1711,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "dedup_embedding_cosine": _dedup_embedding,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
+        "dedup_embedding_lsh_parity": _dedup_embedding_lsh_parity,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_minhash_lsh_parity": _dedup_minhash_lsh_parity,
         "dedup_keep_representatives": _dedup_keep_reps,
@@ -1776,6 +1817,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_fingerprints": _DEDUP_SIMHASH_FP_SQL,
         "dedup_simhash_pairs": _DEDUP_SIMHASH_PAIRS_SQL,
         "dedup_embedding_cosine": _DEDUP_EMBEDDING_SQL,
+        # dedup_embedding_lsh: gaussian planes — rows-only; the
+        # bucketed flow is value-oracled by the Rademacher twin
+        "dedup_embedding_lsh_parity": _dedup_embedding_lsh_parity_sql(),
         # dedup_minhash_lsh: xxhash64 — rows-only (the identical flow
         # is value-oracled by the md5-parity twin right below)
         "dedup_minhash_lsh_parity": _dedup_minhash_lsh_parity_sql(),

@@ -227,6 +227,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 12,
     n_tables: int = 6,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Pairs with exact cosine >= threshold.
 
@@ -279,8 +280,42 @@ def embedding_near_dup_pairs(
             F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
         )
         joined = a.join(b, ["table_id", "bucket"])
+    elif method == "rademacher":
+        # SQL-parity bucketing: md5-derived ±1 planes as Column
+        # expressions (see ann.lsh_topk_parity) — the same bucket
+        # equi-join flow, reproducible by the DuckDB oracle. Requires
+        # a known fixed dim; production stays the Arrow kernel.
+        from blink_spark.operators.ann import _plane_dot, rademacher_planes
+
+        if dim is None:
+            raise ValueError("method='rademacher' needs an explicit dim")
+        planes = rademacher_planes(dim, n_planes, n_tables, seed)
+        keyed = None
+        for t in range(n_tables):
+            key = None
+            for j in range(n_planes):
+                bit = (_plane_dot(F.col(vec_col), planes[t][j]) > 0).cast(
+                    "long"
+                ) * F.lit(2**j)
+                key = bit if key is None else key + bit
+            kb = base.select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.lit(t).alias("table_id"),
+                key.alias("bucket"),
+            )
+            keyed = kb if keyed is None else keyed.unionByName(kb)
+        a = keyed.select(
+            "table_id", "bucket",
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+        )
+        b = keyed.select(
+            "table_id", "bucket",
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+        )
+        joined = a.join(b, ["table_id", "bucket"])
     else:
-        raise ValueError(f"unknown method: {method!r} (lsh|exact)")
+        raise ValueError(f"unknown method: {method!r} (lsh|exact|rademacher)")
     return (
         joined.where(F.col("id_a") < F.col("id_b"))
         .select(

@@ -139,3 +139,35 @@ def test_segment_coverage_matches_segments(spark, corpus):
         .agg(F.sum("dup_windows")).collect()[0][0]
     ) or 0
     assert occ == cov
+
+
+def test_embedding_rademacher_recall(spark):
+    """method='rademacher' (the SQL-parity bucketing) must recover the
+    exact near-dup pairs like the gaussian kernel does."""
+    import numpy as np
+
+    from blink_spark.operators import dedup
+
+    rng = np.random.RandomState(9)
+    cents = rng.standard_normal((8, 16)) * 3
+    rows = [
+        (i, (cents[i % 8] + rng.standard_normal(16) * 0.1).tolist())
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    emb.count()
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(
+            emb, threshold=0.9, method="exact"
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(
+            emb, threshold=0.9, method="rademacher", n_planes=8, n_tables=8, dim=16
+        ).collect()
+    }
+    assert exact
+    assert got <= exact
+    assert len(got & exact) / len(exact) >= 0.9
