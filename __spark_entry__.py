@@ -771,6 +771,71 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_topk(emb, _ann_queries(emb), k=5, n_cells=16, nprobe=4)
 
 
+def _ann_ivf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF flow (hash-min centroid sample -> nearest-cell
+    assignment -> nprobe probing -> exact rescore -> top-k) with the
+    md5 sample hash and no Lloyd refinement, so a DuckDB oracle states
+    it value-for-value: the centroid sample is md5-reproducible, cell
+    ranking uses the same sequential cosine fold both engines agree
+    on, and ties break on cell_id. Production (ann_ivf_topk: xxhash
+    sample + Lloyd refinement) stays rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.ivf_topk(
+        emb, _ann_queries(emb), k=5, n_cells=16, nprobe=4,
+        assign="join", refine_iters=0, id_hash="md5",
+    )
+
+
+def _cosine_raw_sql(a: str, b: str) -> str:
+    dot = f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    na = f"sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    nb = f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))"
+    return f"(CASE WHEN {na} = 0 OR {nb} = 0 THEN 0.0 ELSE {dot} / ({na} * {nb}) END)"
+
+
+def _ann_ivf_parity_sql(n_cells: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    return f"""
+WITH h AS (
+  SELECT vec_id, embedding,
+         ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
+  FROM embeddings
+), cents AS (
+  SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cell_id,
+         embedding AS centroid
+  FROM (SELECT * FROM h ORDER BY hh LIMIT {n_cells})
+), ca AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_vec, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cosine_raw_sql('e.embedding', 'c.centroid')} DESC,
+                                       c.cell_id ASC) AS rk
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE rk = 1
+), qa AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, cell_id FROM (
+    SELECT q.vec_id, q.embedding, c.cell_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cosine_raw_sql('q.embedding', 'c.centroid')} DESC,
+                                       c.cell_id ASC) AS rk
+    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0) q
+    CROSS JOIN cents c)
+  WHERE rk <= {nprobe}
+), scored AS (
+  SELECT DISTINCT qa.query_id, ca.neighbor_id,
+         (floor(({_cosine_raw_sql('qa.q_vec', 'ca.c_vec')}) * 1000000.0 + 0.5)
+            / 1000000.0) AS cosine
+  FROM qa JOIN ca USING (cell_id)
+  WHERE qa.query_id <> ca.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return ann.lsh_topk(emb, _ann_queries(emb), k=5, n_planes=8, n_tables=6, dim=64)
@@ -1759,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_ivf_topk": _ann_ivf_topk,
+        "ann_ivf_parity": _ann_ivf_parity,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_lsh_parity": _ann_lsh_parity,
         "ann_nnd_topk": _ann_nnd_topk,
@@ -1830,6 +1896,7 @@ def oracle_sql() -> dict[str, str]:
         # rows-only; the sign-LSH FLOW is value-oracled by the
         # Rademacher parity twin below
         "ann_lsh_parity": _ann_lsh_parity_sql(),
+        "ann_ivf_parity": _ann_ivf_parity_sql(),
         "text_token_stats": _TEXT_TOKEN_STATS_SQL,
         "text_langid": _TEXT_LANGID_SQL,
         "text_quality": _TEXT_QUALITY_SQL,

@@ -157,15 +157,27 @@ def ivf_cells_df(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    id_hash: str = "xxhash",
 ) -> DataFrame:
     """Centroid TABLE (cell_id, centroid) — the same deterministic
     hash-min sample as ivf_cells but never collected to the driver:
     the scale path when nlist grows past what a task closure should
     ship (~10^4 centroids; at nlist = sqrt(10^12) the closure is GBs,
-    a broadcast-joined table is not)."""
+    a broadcast-joined table is not).
+
+    id_hash="md5" swaps xxhash64 for the first 60 bits of
+    md5(str(id)) so a SQL oracle can reproduce the sample (the
+    portability construction shared with the MinHash parity kernel);
+    production stays xxhash."""
+    if id_hash == "md5":
+        h = F.expr(
+            f"cast(conv(substring(md5(cast({id_col} as string)), 1, 15), 16, 10) "
+            f"as bigint)"
+        )
+    else:
+        h = F.xxhash64(F.col(id_col), F.lit(seed))
     sample = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("centroid"))
-        .withColumn("h", F.xxhash64(F.col("cid"), F.lit(seed)))
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("centroid"), h.alias("h"))
         .orderBy("h")
         .limit(n_cells)
     )
@@ -251,6 +263,7 @@ def ivf_topk(
     seed: int = 42,
     assign: str = "closure",
     refine_iters: int = 1,
+    id_hash: str = "xxhash",
 ) -> DataFrame:
     """IVF ANN: corpus rows live in their 1 nearest cell; queries probe
     their nprobe nearest cells; exact cosine + top-k within probed
@@ -267,7 +280,7 @@ def ivf_topk(
     see ivf_refine_centroids) tighten the hash-sampled init centroids
     before assignment; 0 restores the raw sample."""
     q = queries if queries is not None else corpus
-    cents_df = ivf_cells_df(corpus, n_cells, id_col, vec_col, seed)
+    cents_df = ivf_cells_df(corpus, n_cells, id_col, vec_col, seed, id_hash)
     if refine_iters:
         cents_df = ivf_refine_centroids(
             corpus, cents_df, refine_iters, id_col, vec_col
