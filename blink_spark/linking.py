@@ -79,10 +79,15 @@ class LinkPipeline:
         cfg: ERConfig | None = None,
         recall_k: int = 8,
         mention_knn: int = 4,
+        max_component_edges: int = 2_000_000,
+        oversize: str = "error",
     ):
         self.cfg = cfg or ERConfig()
         self.recall_k = recall_k
         self.mention_knn = mention_knn
+        # G4 skew guards, passed through to entity_constrained_partition
+        self.max_component_edges = max_component_edges
+        self.oversize = oversize
 
     # ------------------------------------------------------------ stages
     def score_joint(
@@ -211,7 +216,12 @@ class LinkPipeline:
         )
         cands = self.entity_candidates(flagged)
         graph = self.joint_graph(flagged, train_labels=train_labels)
-        part = entity_constrained_partition(graph, undirected=undirected)
+        part = entity_constrained_partition(
+            graph,
+            undirected=undirected,
+            max_component_edges=self.max_component_edges,
+            oversize=self.oversize,
+        )
         # every mention gets a row; no-candidate mentions stay NULL
         pred = men_ids.join(
             part.where(~F.col("is_entity")).select(

@@ -199,3 +199,37 @@ def test_nmi_ari_identity_and_symmetry(a):
     nmi_ba, ari_ba = nmi_ari_py(b[: len(a)], a)
     assert abs(nmi_ab - nmi_ba) < 1e-9
     assert abs(ari_ab - ari_ba) < 1e-9
+
+
+# ----------------------------------------- G4 star fast-path equivalence
+
+star_graphs = st.lists(
+    st.tuples(
+        st.integers(100, 115),          # mention id
+        st.integers(0, 4),              # entity id
+        st.sampled_from([0.1, 0.25, 0.25, 0.5, 0.7]),  # tie-heavy scores
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(edges=star_graphs)
+@settings(max_examples=200, deadline=None)
+def test_star_argmax_equals_greedy(edges):
+    """The de-star window rule — per mention keep max (score, dst) —
+    must equal the full ascending greedy on ANY entity-star graph
+    (duplicate edges, score ties, multi-entity mentions included):
+    the proof behind operators/linking._star_window_assign."""
+    entities = {e for _, e, _ in edges}
+    dedges = [(m, e, w) for m, e, w in edges]
+    kept = special_partition_py(dedges, entities)
+    assign = assign_entities_py(kept, entities)
+    # window rule: argmax by (score, dst) per mention
+    best = {}
+    for m, e, w in dedges:
+        cur = best.get(m)
+        if cur is None or (w, e) > cur:
+            best[m] = (w, e)
+    for m in {m for m, _, _ in dedges}:
+        assert assign[m] == best[m][1], (m, assign[m], best[m])
