@@ -100,6 +100,10 @@ def main() -> int:
         "link_partition_chain",
         "dedup_minhash_lsh_parity",
         "discover_reattach",
+        "ann_lsh_parity",
+        "ann_ivf_parity",
+        "dedup_embedding_lsh_parity",
+        "mm_byte_features_parity",
     ]
     for name in headline + round3:
         t0 = time.time()
