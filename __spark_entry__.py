@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from blink_spark.functions.rounding import qround, qround_sql
+from blink_spark.functions.rounding import qround, qround_py, qround_sql
 
 from blink_spark.functions import text as btext
 from blink_spark.functions import textstats as ts
@@ -1768,6 +1768,80 @@ def _eval_dendrogram_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _eval_dendrogram_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 dendrogram purity on a fixture whose purity has a CLOSED FORM
+    a SQL oracle can state — the analytic-fixture trick graph_mst_forest
+    / link_partition_chain use for G3/G4, applied to the HAC kernel.
+
+    Fixture: per-lang pure chains (rn ordered by doc_id) with strictly
+    decreasing similarity 1.0 - rn*1e-4 (distance = -score strictly
+    increasing), labels cls = lang#(rn%5) (lang-scoped, so the final
+    infinite-distance stitch across langs contributes no same-class
+    pairs). On a pure chain every inter-cluster aggregate is a single
+    edge (min == max == mean), so single/complete/average linkage all
+    produce the identical prefix-merge sequence: merge i joins cluster
+    {v1..vi} with singleton {v(i+1)}. Each merge's purity contribution
+    is therefore cnt*(cnt+1)/rn where cnt = |{j < rn : cls(j) ==
+    cls(rn)}| — a window count, which is exactly what the oracle
+    computes. All three linkages must (and do) emit the same purity.
+    Ref: dendrogram_purity.py:295-311 (Heller & Ghahramani 2005)."""
+    from blink_spark.operators.dendrogram import dendrogram_purity
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("lang", "doc_id")
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("lang").orderBy("doc_id"))
+        )
+    )
+    lab = d.select(
+        "doc_id",
+        F.concat_ws(
+            "#", F.col("lang"), (F.col("rn") % 5).cast("string")
+        ).alias("cls"),
+    )
+    wl = W.partitionBy("lang").orderBy("doc_id")
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.lead("doc_id", 1).over(wl).alias("dst"),
+        (F.lit(1.0) - F.col("rn").cast("double") * F.lit(1e-4)).alias("score"),
+    ).where(F.col("dst").isNotNull())
+    out_rows = []
+    for linkage in ("single", "complete", "average"):
+        r = dendrogram_purity(edges, lab, linkage=linkage, label_cols=("doc_id", "cls"))
+        out_rows.append(
+            (linkage, qround_py(r["purity"]), int(r["n_pairs"]), int(r["n_leaves"]))
+        )
+    return spark.createDataFrame(
+        out_rows, "linkage string, purity double, n_pairs long, n_leaves long"
+    )
+
+
+_EVAL_DENDROGRAM_CHAIN_SQL = """
+WITH d AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+), c AS (
+  SELECT lang, rn,
+         count(*) OVER (PARTITION BY lang, rn % 5 ORDER BY rn
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cnt
+  FROM d
+), s AS (
+  SELECT sum(CAST(cnt AS DOUBLE) * (cnt + 1) / rn) FILTER (WHERE rn >= 2) AS num,
+         sum(cnt) AS den,
+         count(*) AS n_leaves
+  FROM c
+)
+SELECT l.linkage,
+       floor((CASE WHEN den > 0 THEN num / den ELSE 1.0 END) * 1000000.0 + 0.5)
+         / 1000000.0 AS purity,
+       CAST(den AS BIGINT) AS n_pairs,
+       n_leaves
+FROM s CROSS JOIN (VALUES ('single'), ('complete'), ('average')) AS l(linkage)
+"""
+
+
 def _rel_kmeans2_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 threshold selection, KMeans-style
     (crossencoder/eval_cluster_linking.py:211-215, 233-235): exact 1-D
@@ -1856,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # G8 dendrogram purity)
         "eval_ari_components": _eval_ari_components,
         "eval_dendrogram_purity": _eval_dendrogram_purity,
+        "eval_dendrogram_chain": _eval_dendrogram_chain,
     }
 
 
@@ -1920,4 +1995,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_gold_rank": _REL_GOLD_RANK_SQL,
         "rel_cluster_hist": _REL_CLUSTER_HIST_SQL,
         "eval_ari_components": _EVAL_ARI_SQL,
+        "eval_dendrogram_chain": _EVAL_DENDROGRAM_CHAIN_SQL,
     }

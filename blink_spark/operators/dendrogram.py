@@ -168,12 +168,17 @@ def dendrogram_purity(
     el = [
         (r["a"], r["b"], r["d"]) for r in e_rows if r["a"] in keep and r["b"] in keep
     ]
-    purity = dendrogram_purity_py(
-        el, {r["leaf"]: r["cls"] for r in lab_rows}, linkage=linkage
-    )
+    lab_map = {r["leaf"]: r["cls"] for r in lab_rows}
+    purity = dendrogram_purity_py(el, lab_map, linkage=linkage)
+    # Every same-class pair receives an LCA at exactly one merge (the
+    # infinite-distance stitch connects all components), so the purity
+    # denominator is simply sum_c C(n_c, 2) over the leaf labels.
+    cls_counts = Counter(lab_map.values())
+    n_pairs = sum(n * (n - 1) // 2 for n in cls_counts.values())
     return {
         "linkage": linkage,
         "purity": purity,
+        "n_pairs": n_pairs,
         "n_leaves": len(lab_rows),
         "sampled": sampled,
     }

@@ -147,3 +147,37 @@ def test_spark_wrapper_matches_py(spark):
     )
     assert got["purity"] == pytest.approx(exp, abs=1e-12)
     assert got["n_leaves"] == n and got["sampled"] is False
+
+
+@pytest.mark.parametrize("linkage", ["single", "complete", "average"])
+def test_chain_fixture_closed_form(linkage):
+    """The analytic chain fixture behind the eval_dendrogram_chain
+    oracle query: on a pure chain with strictly increasing distances,
+    every linkage merges prefix-wise (each inter-cluster aggregate is a
+    single edge), so purity = sum(cnt*(cnt+1)/rn) / sum(cnt) where cnt
+    counts earlier chain nodes sharing the merged node's class."""
+    n = 37
+    labels = {i: f"c{i % 5}" for i in range(1, n + 1)}
+    edges = [(i, i + 1, i * 1e-4 - 1.0) for i in range(1, n)]
+    num = 0.0
+    den = 0
+    for rn in range(2, n + 1):
+        cnt = sum(1 for j in range(1, rn) if j % 5 == rn % 5)
+        num += cnt * (cnt + 1) / rn
+        den += cnt
+    assert dendrogram_purity_py(edges, labels, linkage) == pytest.approx(
+        num / den, abs=1e-12
+    )
+
+
+def test_wrapper_n_pairs_exact(spark):
+    """n_pairs from the wrapper equals sum_c C(n_c, 2) — exact for any
+    label multiset, independent of graph shape (the stitch gives every
+    same-class pair an LCA). 10 leaves, classes i%3: 4+3+3 leaves ->
+    C(4,2)+C(3,2)+C(3,2) = 6+3+3 = 12 pairs."""
+    lab_rows = [(i, f"c{i % 3}") for i in range(10)]
+    e_rows = [(i, i + 1, 0.5) for i in range(9)]
+    edges = spark.createDataFrame(e_rows, "src long, dst long, score double")
+    labels = spark.createDataFrame(lab_rows, "file_id long, entity_id string")
+    got = dendrogram_purity(edges, labels, linkage="single")
+    assert got["n_pairs"] == 12
