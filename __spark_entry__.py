@@ -836,6 +836,106 @@ SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank FROM ranked WHERE ran
 """
 
 
+def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (FAISS IndexIVFPQ analog, faiss_indexer.py:72-137;
+    Jégou et al. 2011): Lloyd-refined coarse cells prune candidates,
+    PQ codes + ADC lookup-table join score them, top k·overfetch are
+    exactly rescored. Rows-only (xxhash sample + Lloyd); the flow is
+    value-oracled by ann_pq_parity and floor-tested in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.pq_topk(
+        emb, _ann_queries(emb), k=5, m=16, ksub=32, dim=64,
+        overfetch=8, n_cells=16, nprobe=12,
+    )
+
+
+def _ann_pq_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ-ADC flow (hash-min codeword sample -> per-subspace L2
+    encoding -> LUT join -> exact-DECIMAL ADC sum -> over-fetch ->
+    exact-cosine rerank) with the md5 sample hash and no Lloyd
+    refinement, so a DuckDB oracle states it value-for-value: slices,
+    the L2 argmin and the partial dots all use folds both engines
+    agree on bit-for-bit, and the ADC sum is exact DECIMAL (order-
+    free). Production (ann_pq_topk: xxhash + Lloyd + IVF coarse
+    layer) stays rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.pq_topk(
+        emb, _ann_queries(emb), k=5, m=16, ksub=32, dim=64,
+        overfetch=8, refine_iters=0, id_hash="md5",
+    )
+
+
+def _ann_pq_parity_sql(
+    m: int = 16, ksub: int = 32, k: int = 5, overfetch: int = 8, dim: int = 64
+) -> str:
+    dsub = dim // m
+
+    def sub(v: str) -> str:
+        return (
+            f"list_slice({v}::DOUBLE[], cb.subspace * {dsub} + 1, "
+            f"(cb.subspace + 1) * {dsub})"
+        )
+
+    return f"""
+WITH h AS (
+  SELECT vec_id, embedding,
+         ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
+  FROM embeddings
+), samp AS (
+  SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS code, embedding
+  FROM (SELECT * FROM h ORDER BY hh LIMIT {ksub})
+), cb AS (
+  SELECT j.subspace, samp.code,
+         list_slice(samp.embedding::DOUBLE[], j.subspace * {dsub} + 1,
+                    (j.subspace + 1) * {dsub}) AS centroid
+  FROM samp CROSS JOIN
+       (SELECT unnest(generate_series(0, {m - 1})) AS subspace) j
+), codes AS (
+  SELECT neighbor_id, subspace, code FROM (
+    SELECT e.vec_id AS neighbor_id, cb.subspace, cb.code,
+           row_number() OVER (
+             PARTITION BY e.vec_id, cb.subspace
+             ORDER BY (list_dot_product(cb.centroid, cb.centroid)
+                       - 2.0 * list_dot_product({sub('e.embedding')}, cb.centroid)) ASC,
+                      cb.code ASC) AS rk
+    FROM embeddings e CROSS JOIN cb)
+  WHERE rk = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+), lut AS (
+  SELECT q.query_id, cb.subspace, cb.code,
+         (floor(list_dot_product({sub('q.embedding')}, cb.centroid)
+                * 1000000.0 + 0.5) / 1000000.0)::DECIMAL(38,6) AS pdot
+  FROM q CROSS JOIN cb
+), adc AS (
+  SELECT l.query_id, c.neighbor_id, sum(l.pdot) AS adc
+  FROM codes c JOIN lut l USING (subspace, code)
+  WHERE l.query_id <> c.neighbor_id
+  GROUP BY 1, 2
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc DESC, neighbor_id ASC) AS crk
+    FROM adc)
+  WHERE crk <= {k * overfetch}
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_cosine_sql('qe.embedding', 'ce.embedding')} AS cosine
+  FROM cand
+  JOIN q qe ON cand.query_id = qe.query_id
+  JOIN embeddings ce ON cand.neighbor_id = ce.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return ann.lsh_topk(emb, _ann_queries(emb), k=5, n_planes=8, n_tables=6, dim=64)
@@ -1899,6 +1999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_ivf_parity": _ann_ivf_parity,
+        "ann_pq_topk": _ann_pq_topk,
+        "ann_pq_parity": _ann_pq_parity,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_lsh_parity": _ann_lsh_parity,
         "ann_nnd_topk": _ann_nnd_topk,
@@ -1972,6 +2074,7 @@ def oracle_sql() -> dict[str, str]:
         # Rademacher parity twin below
         "ann_lsh_parity": _ann_lsh_parity_sql(),
         "ann_ivf_parity": _ann_ivf_parity_sql(),
+        "ann_pq_parity": _ann_pq_parity_sql(),
         "text_token_stats": _TEXT_TOKEN_STATS_SQL,
         "text_langid": _TEXT_LANGID_SQL,
         "text_quality": _TEXT_QUALITY_SQL,

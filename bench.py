@@ -102,8 +102,11 @@ def main() -> int:
         "discover_reattach",
         "ann_lsh_parity",
         "ann_ivf_parity",
+        "ann_pq_topk",
+        "ann_pq_parity",
         "dedup_embedding_lsh_parity",
         "mm_byte_features_parity",
+        "eval_dendrogram_chain",
     ]
     for name in headline + round3:
         t0 = time.time()

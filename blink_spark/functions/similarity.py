@@ -345,16 +345,22 @@ def hashed_pair_scores_udf():
 # ------------------------------------------------------------ vector cosine
 
 
+def array_dot(a: Column, b: Column) -> Column:
+    """Inner product over two array<float|double> columns, JVM-native,
+    with the SAME sequential fold as array_cosine so DuckDB's
+    list_dot_product reproduces it bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def array_cosine(a: Column, b: Column) -> Column:
     """Cosine over two array<float|double> columns, JVM-native
     (F.zip_with product + F.aggregate sum — sequential order, so the
     DuckDB list-based oracle reproduces it bit-for-bit after rounding)."""
-    def dot(x: Column, y: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    na, nb = F.sqrt(dot(a, a)), F.sqrt(dot(b, b))
-    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot(a, b) / (na * nb))
+    na, nb = F.sqrt(array_dot(a, a)), F.sqrt(array_dot(b, b))
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
+        array_dot(a, b) / (na * nb)
+    )

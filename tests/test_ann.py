@@ -125,3 +125,63 @@ def test_lsh_parity_recall_and_flow(spark, emb):
     approx = ann.lsh_topk_parity(emb, k=5, n_planes=6, n_tables=8, dim=16)
     r = ann.recall_vs_exact(approx, exact)
     assert r >= 0.7, r
+
+
+# ---------------------------------------------------- product quantization
+
+def test_pq_encode_matches_numpy_argmin(spark, emb):
+    """pq_encode picks the L2-nearest codeword per subspace — checked
+    against a numpy brute-force argmin over the same codebooks."""
+    m, ksub, dim = 4, 8, 16
+    cb = ann.pq_codebooks(emb, m=m, ksub=ksub, dim=dim, refine_iters=0)
+    cb_rows = {(r["subspace"], r["code"]): np.asarray(r["centroid"]) for r in cb.collect()}
+    codes = {
+        (r["pq_id"], r["subspace"]): r["code"]
+        for r in ann.pq_encode(emb, cb, m=m, dim=dim).collect()
+    }
+    dsub = dim // m
+    for r in emb.collect():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        for j in range(m):
+            sub = v[j * dsub : (j + 1) * dsub]
+            dists = [
+                (float(np.sum((sub - cb_rows[(j, c)]) ** 2)), c) for c in range(ksub)
+            ]
+            best = min(dists)[1]
+            assert codes[(r["vec_id"], j)] == best, (r["vec_id"], j)
+
+
+def test_pq_recall(spark, emb):
+    """PQ-ADC + over-fetch rerank recovers the exact top-k on the
+    clustered fixture (measured 1.0; floor with slack)."""
+    exact = ann.cosine_topk(emb, k=5)
+    approx = ann.pq_topk(emb, k=5, m=4, ksub=16, dim=16, overfetch=8)
+    assert ann.recall_vs_exact(approx, exact) >= 0.95
+
+
+def test_pq_parity_recall(spark, emb):
+    """The md5 / no-refine parity configuration (what ann_pq_parity
+    runs) must hit the same floor — the sample hash is not allowed to
+    cost recall."""
+    exact = ann.cosine_topk(emb, k=5)
+    approx = ann.pq_topk(
+        emb, k=5, m=4, ksub=16, dim=16, overfetch=8,
+        refine_iters=0, id_hash="md5",
+    )
+    assert ann.recall_vs_exact(approx, exact) >= 0.95
+
+
+def test_ivfpq_recall(spark, emb):
+    """IVF coarse layer + PQ codes (IndexIVFPQ shape): pruning must
+    not break the floor at nprobe=6/8 cells on separable clusters."""
+    exact = ann.cosine_topk(emb, k=5)
+    approx = ann.pq_topk(
+        emb, k=5, m=4, ksub=16, dim=16, overfetch=8, n_cells=8, nprobe=6
+    )
+    assert ann.recall_vs_exact(approx, exact) >= 0.95
+
+
+def test_pq_deterministic_across_partitioning(spark, emb):
+    a = ann.pq_topk(emb.repartition(1), k=5, m=4, ksub=16, dim=16, overfetch=8)
+    b = ann.pq_topk(emb.repartition(13), k=5, m=4, ksub=16, dim=16, overfetch=8)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -146,3 +146,14 @@ def test_substring_dedup_plan_partial_agg_no_broadcast(spark):
     p2 = dedup.segment_dup_coverage(docs, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p2, p2
     assert "BroadcastNestedLoopJoin" not in p2, p2
+
+
+def test_pq_plain_scan_is_equi_join(emb):
+    """Plain PQ-ADC: codebook joins are broadcast-hash on subspace,
+    the ADC scan is a shuffle equi-join on (subspace, code) — no
+    cartesian product, no nested-loop broadcast anywhere (the corpus
+    codes stream; only the m*ksub codebook is broadcast)."""
+    plan = _plan(ann.pq_topk(emb, k=3, m=4, ksub=8, dim=16, overfetch=4))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastExchange" in plan, plan  # the codebook, m*ksub rows
