@@ -637,6 +637,7 @@ def pq_topk(
     seed: int = 42,
     id_hash: str = "xxhash",
     refine_iters: int = 1,
+    residual: bool = True,
 ) -> DataFrame:
     """PQ-ADC ANN (the FAISS IndexPQ / IndexIVFPQ analog — the memory
     tier of the reference's retrieval ladder, faiss_indexer.py:72-137):
@@ -652,17 +653,57 @@ def pq_topk(
     must share a probed cell, cutting the ADC scan ~n_cells/nprobe —
     at 100 TB that's the difference between scanning 10⁹ codes and
     10⁷ per query, while the PQ codes keep the per-row payload at m
-    bytes instead of 4·dim. Everything is equi-join + window: no
-    cartesian product, no driver-side index."""
+    bytes instead of 4·dim. With residual=True (default, FAISS
+    IndexIVFPQ semantics) the codebooks quantize x − centroid(x)
+    instead of x — residuals are much smaller than raw vectors, so
+    the same code budget loses far less signal — and the ADC total
+    uses the IP expansion q·x = q·centroid + q·residual: the coarse
+    term is exact per (query, cell), only the residual goes through
+    the LUT. Everything is equi-join + window: no cartesian product,
+    no driver-side index."""
     q = queries if queries is not None else corpus
-    cb = pq_codebooks(
-        corpus, m, ksub, dim, id_col, vec_col, seed, id_hash, refine_iters
-    )
-    codes = pq_encode(corpus, cb, m, dim, id_col, vec_col).select(
-        F.col("pq_id").alias("neighbor_id"), "subspace", "code"
-    )
     qs = q.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    if n_cells:
+        cents = ivf_cells_df(corpus, n_cells, id_col, vec_col, seed, id_hash)
+        if refine_iters:
+            cents = ivf_refine_centroids(
+                corpus, cents, refine_iters, id_col, vec_col
+            )
+        ca = _assign_cells_join(cs, cents, 1, "neighbor_id", "c_vec").select(
+            "neighbor_id", "cell_id"
+        )
+        qa_full = _assign_cells_join(qs, cents, nprobe, "query_id", "q_vec")
+        qa = qa_full.select("query_id", "cell_id")
+    if n_cells and residual:
+        # quantize residuals x - centroid(x); one shared codebook
+        rcorpus = (
+            cs.join(ca, "neighbor_id")
+            .join(F.broadcast(cents), "cell_id")
+            .select(
+                "neighbor_id",
+                "cell_id",
+                F.zip_with(
+                    "c_vec", "centroid", lambda x, c: x.cast("double") - c
+                ).alias("rvec"),
+            )
+        )
+        cb = pq_codebooks(
+            rcorpus, m, ksub, dim, "neighbor_id", "rvec", seed, id_hash,
+            refine_iters,
+        )
+        codes = pq_encode(rcorpus, cb, m, dim, "neighbor_id", "rvec")
+    else:
+        cb = pq_codebooks(
+            corpus, m, ksub, dim, id_col, vec_col, seed, id_hash, refine_iters
+        )
+        codes = pq_encode(corpus, cb, m, dim, id_col, vec_col)
+    codes = codes.select(F.col("pq_id").alias("neighbor_id"), "subspace", "code")
     qsubs = _subvectors(qs, m, dim, "query_id", "q_vec")
+    # LUT on the RAW query either way: with residuals, q·x decomposes
+    # as q·centroid (exact coarse term) + q·residual (the LUT part)
     lut = qsubs.join(F.broadcast(cb), "subspace").select(
         "query_id",
         "subspace",
@@ -672,34 +713,35 @@ def pq_topk(
         .alias("pdot"),
     )
     if n_cells:
-        cents = ivf_cells_df(corpus, n_cells, id_col, vec_col, seed, id_hash)
-        if refine_iters:
-            cents = ivf_refine_centroids(
-                corpus, cents, refine_iters, id_col, vec_col
-            )
-        ca = _assign_cells_join(
-            corpus.select(
-                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-            ),
-            cents, 1, "neighbor_id", "c_vec",
-        ).select("neighbor_id", "cell_id")
-        qa = _assign_cells_join(
-            qs, cents, nprobe, "query_id", "q_vec"
-        ).select("query_id", "cell_id")
         pairs = (
             qa.join(ca, "cell_id")
-            .select("query_id", "neighbor_id")
+            .select("query_id", "neighbor_id", "cell_id")
             .dropDuplicates(["query_id", "neighbor_id"])
         )
+        if residual:
+            qc = qa_full.join(F.broadcast(cents), "cell_id").select(
+                "query_id",
+                "cell_id",
+                qround(array_dot(F.col("q_vec"), F.col("centroid")), 6)
+                .cast("decimal(38,6)")
+                .alias("coarse"),
+            )
+            pairs = pairs.join(qc, ["query_id", "cell_id"])
+        else:
+            pairs = pairs.withColumn(
+                "coarse", F.lit(0).cast("decimal(38,6)")
+            )
         adc_in = pairs.join(codes, "neighbor_id").join(
             lut, ["query_id", "subspace", "code"]
         )
     else:
-        adc_in = codes.join(lut, ["subspace", "code"])
+        adc_in = codes.join(lut, ["subspace", "code"]).withColumn(
+            "coarse", F.lit(0).cast("decimal(38,6)")
+        )
     adc = (
         adc_in.where(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("pdot").alias("adc"))
+        .agg((F.sum("pdot") + F.max("coarse")).alias("adc"))
     )
     wc = W.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
     cand = (

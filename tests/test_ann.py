@@ -185,3 +185,15 @@ def test_pq_deterministic_across_partitioning(spark, emb):
     a = ann.pq_topk(emb.repartition(1), k=5, m=4, ksub=16, dim=16, overfetch=8)
     b = ann.pq_topk(emb.repartition(13), k=5, m=4, ksub=16, dim=16, overfetch=8)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ivfpq_residual_not_worse_than_raw(spark, emb):
+    """Residual encoding (FAISS IndexIVFPQ semantics) must not lose
+    recall vs quantizing raw vectors at identical parameters — the
+    residuals are strictly smaller targets for the same code budget."""
+    exact = ann.cosine_topk(emb, k=5)
+    kw = dict(k=5, m=4, ksub=16, dim=16, overfetch=8, n_cells=8, nprobe=6)
+    r_res = ann.recall_vs_exact(ann.pq_topk(emb, residual=True, **kw), exact)
+    r_raw = ann.recall_vs_exact(ann.pq_topk(emb, residual=False, **kw), exact)
+    assert r_res >= r_raw - 1e-9, (r_res, r_raw)
+    assert r_res >= 0.95, r_res
