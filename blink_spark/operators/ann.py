@@ -229,6 +229,12 @@ def ivf_refine_centroids(
         cents_df = cents_df.join(means, "cell_id", "left").select(
             "cell_id", F.coalesce("newc", "centroid").alias("centroid")
         )
+        # the table is n_cells rows but is consumed twice per pass
+        # (assignment + mean join) and its lineage doubles each
+        # iteration — spill per pass, same policy as the CC iterations
+        from blink_spark.io.scratch import spill_scratch
+
+        cents_df, _ = spill_scratch(cents_df, "ivf_cents_iter")
     return cents_df
 
 
@@ -237,13 +243,35 @@ def _assign_cells_join(
 ) -> DataFrame:
     """Cell assignment via a broadcast join against the centroid table:
     rank each row's cosine to every centroid, keep the nprobe best.
-    Replaces the closure-shipped numpy matmul when nlist is large."""
+    Replaces the closure-shipped numpy matmul when nlist is large.
+
+    nprobe=1 (the corpus-side shape — every row, every Lloyd pass) is
+    a hash-agg max(struct) argmax instead of a row_number window: the
+    n·n_cells scored rows partial-aggregate map-side and never sort.
+    Tie-break is identical to the window ((csim DESC, cell_id ASC) ==
+    max of (csim, -cell_id))."""
     scored = side.crossJoin(F.broadcast(cents)).select(
         id_name,
         vec_name,
         "cell_id",
         array_cosine(F.col(vec_name), F.col("centroid")).alias("csim"),
     )
+    if nprobe == 1:
+        best = scored.groupBy(id_name).agg(
+            F.max(
+                F.struct(
+                    F.col("csim"),
+                    (-F.col("cell_id")).alias("negc"),
+                    F.col("cell_id").alias("cell_id"),
+                    F.col(vec_name).alias("v"),
+                )
+            ).alias("b")
+        )
+        return best.select(
+            id_name,
+            F.col("b.v").alias(vec_name),
+            F.col("b.cell_id").alias("cell_id"),
+        )
     w = W.partitionBy(id_name).orderBy(F.desc("csim"), F.asc("cell_id"))
     return (
         scored.withColumn("crk", F.row_number().over(w))
@@ -584,6 +612,13 @@ def pq_codebooks(
         cb = cb.join(means, ["subspace", "code"], "left").select(
             "subspace", "code", F.coalesce("newc", "centroid").alias("centroid")
         )
+    # m·ksub rows with a full-corpus-scan lineage per Lloyd pass, and
+    # every consumer (encode + LUT) re-executes that lineage — spill
+    # once so training runs exactly once (same policy as the pipeline's
+    # multi-consumer stage tables)
+    from blink_spark.io.scratch import spill_scratch
+
+    cb, _ = spill_scratch(cb, "pq_codebook")
     return cb
 
 
@@ -616,8 +651,18 @@ def pq_encode(
             - F.lit(2.0) * array_dot(F.col("sub"), F.col("centroid"))
         ).alias("d2"),
     )
-    w = W.partitionBy("pq_id", "subspace").orderBy(F.asc("d2"), F.asc("code"))
-    out = scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    # argmin as a hash-agg min(struct) — the n·ksub scored rows
+    # partial-aggregate map-side instead of sorting per (id, subspace);
+    # (d2 ASC, code ASC) tie-break is the struct's lexicographic order
+    best = scored.groupBy("pq_id", "subspace").agg(
+        F.min(F.struct("d2", "code", "sub")).alias("b")
+    )
+    out = best.select(
+        "pq_id",
+        "subspace",
+        F.col("b.code").alias("code"),
+        F.col("b.sub").alias("sub"),
+    )
     cols = ["pq_id", "subspace", "code"] + (["sub"] if keep_sub else [])
     return out.select(*cols)
 
@@ -667,15 +712,26 @@ def pq_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     if n_cells:
+        from blink_spark.io.scratch import spill_scratch
+
         cents = ivf_cells_df(corpus, n_cells, id_col, vec_col, seed, id_hash)
         if refine_iters:
             cents = ivf_refine_centroids(
                 corpus, cents, refine_iters, id_col, vec_col
             )
+        # n_cells rows, full-corpus Lloyd lineage, 2-4 consumers below
+        # (ca, qa, residuals, coarse term) — spill so refinement runs once
+        cents, _ = spill_scratch(cents, "pq_cents")
         ca = _assign_cells_join(cs, cents, 1, "neighbor_id", "c_vec").select(
             "neighbor_id", "cell_id"
         )
         qa_full = _assign_cells_join(qs, cents, nprobe, "query_id", "q_vec")
+        if residual:
+            # both consumed twice in residual mode (pairs + residual /
+            # coarse term): n·1 and |Q|·nprobe rows — cheap spills that
+            # stop the broadcast-rank job from running twice
+            ca, _ = spill_scratch(ca, "pq_ca")
+            qa_full, _ = spill_scratch(qa_full, "pq_qa")
         qa = qa_full.select("query_id", "cell_id")
     if n_cells and residual:
         # quantize residuals x - centroid(x); one shared codebook
