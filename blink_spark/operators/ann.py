@@ -566,7 +566,7 @@ def pq_codebooks(
     hash(id) sliced into m subvectors (code = rank in the sample, so
     the table is parallelism-independent); refine_iters distributed
     Lloyd passes per subspace tighten them (assignment = broadcast
-    join + window argmin, means = DECIMAL-exact per-(subspace, code,
+    join + hash-agg argmin, means = DECIMAL-exact per-(subspace, code,
     pos) sums — order-free, deterministic, the same discipline as
     ivf_refine_centroids). id_hash="md5" makes the sample
     SQL-reproducible for the parity oracle."""
@@ -591,6 +591,8 @@ def pq_codebooks(
     cb = _subvectors(sample, m, dim, "code", "vec").select(
         "subspace", "code", F.col("sub").alias("centroid")
     )
+    from blink_spark.io.scratch import spill_scratch
+
     for _ in range(refine_iters):
         assigned = pq_encode(corpus, cb, m, dim, id_col, vec_col, keep_sub=True)
         stats = (
@@ -609,16 +611,15 @@ def pq_codebooks(
                 "subspace", "code", F.transform("pm", lambda s: s["mv"]).alias("newc")
             )
         )
-        cb = cb.join(means, ["subspace", "code"], "left").select(
-            "subspace", "code", F.coalesce("newc", "centroid").alias("centroid")
-        )
-    # m·ksub rows with a full-corpus-scan lineage per Lloyd pass, and
-    # every consumer (encode + LUT) re-executes that lineage — spill
-    # once so training runs exactly once (same policy as the pipeline's
-    # multi-consumer stage tables)
-    from blink_spark.io.scratch import spill_scratch
-
-    cb, _ = spill_scratch(cb, "pq_codebook")
+        # m·ksub rows, but the table is consumed twice per pass (encode
+        # + mean join) and by every downstream consumer (encode + LUT),
+        # each re-executing the full-corpus training lineage — spill per
+        # pass (same policy as the pipeline's multi-consumer tables)
+        cb, _ = spill_scratch(cb, "pq_codebook")
+    if refine_iters == 0:
+        # even the raw sample's lineage is a full-corpus orderBy scan;
+        # encode + LUT both consume cb
+        cb, _ = spill_scratch(cb, "pq_codebook")
     return cb
 
 
@@ -633,7 +634,7 @@ def pq_encode(
 ) -> DataFrame:
     """(pq_id, subspace, code): each subvector's L2-nearest codeword —
     argmin ||x−c||² == argmin (c·c − 2·x·c), ties on code, via ONE
-    broadcast join (codebooks are m·ksub rows) + window argmin. Long
+    broadcast join (codebooks are m·ksub rows) + hash-agg argmin. Long
     format is the ADC join shape; at rest the codes pack to
     m·log2(ksub) bits per vector (m bytes at ksub=256) — the ~32×
     compression that lets a 100-TB corpus's vectors live in executor
@@ -746,6 +747,10 @@ def pq_topk(
                 ).alias("rvec"),
             )
         )
+        # consumed by codebook training (once per Lloyd pass) AND final
+        # encoding — materialize the residuals once, as a production
+        # index build would
+        rcorpus, _ = spill_scratch(rcorpus, "pq_residuals")
         cb = pq_codebooks(
             rcorpus, m, ksub, dim, "neighbor_id", "rvec", seed, id_hash,
             refine_iters,
