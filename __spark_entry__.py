@@ -836,6 +836,88 @@ SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank FROM ranked WHERE ran
 """
 
 
+def _ann_ivf_refined_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF flow WITH one distributed Lloyd pass, md5-sampled init —
+    value-oracles the refinement kernel itself (ivf_refine_centroids):
+    the oracle recomputes the pass in SQL (argmax-cosine assignment →
+    EXACT DECIMAL(38,12) per-(cell, pos) component sums → cast-then-
+    divide means → rebuilt centroid arrays) and then probes/rescores
+    against the refined table. Complements ann_ivf_parity (no-refine),
+    which pins the sampling + probing flow."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.ivf_topk(
+        emb, _ann_queries(emb), k=5, n_cells=16, nprobe=4,
+        assign="join", refine_iters=1, id_hash="md5",
+    )
+
+
+def _ann_ivf_refined_parity_sql(n_cells: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    return f"""
+WITH h AS (
+  SELECT vec_id, embedding,
+         ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
+  FROM embeddings
+), cents0 AS (
+  SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cell_id,
+         embedding::DOUBLE[] AS centroid
+  FROM (SELECT * FROM h ORDER BY hh LIMIT {n_cells})
+), asg AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cosine_raw_sql('e.embedding', 'c.centroid')} DESC,
+                                       c.cell_id ASC) AS rk
+    FROM embeddings e CROSS JOIN cents0 c)
+  WHERE rk = 1
+), stats AS (
+  SELECT cell_id, pos, sum(x::DECIMAL(38,12)) AS s, count(*) AS n
+  FROM (
+    SELECT a.cell_id,
+           unnest(generate_series(1, len(a.embedding))) AS pos,
+           unnest(a.embedding::DOUBLE[]) AS x
+    FROM asg a
+  )
+  GROUP BY 1, 2
+), means AS (
+  SELECT cell_id, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS newc
+  FROM stats GROUP BY cell_id
+), cents AS (
+  SELECT c0.cell_id, COALESCE(m.newc, c0.centroid) AS centroid
+  FROM cents0 c0 LEFT JOIN means m ON c0.cell_id = m.cell_id
+), ca AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_vec, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cosine_raw_sql('e.embedding', 'c.centroid')} DESC,
+                                       c.cell_id ASC) AS rk
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE rk = 1
+), qa AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, cell_id FROM (
+    SELECT q.vec_id, q.embedding, c.cell_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cosine_raw_sql('q.embedding', 'c.centroid')} DESC,
+                                       c.cell_id ASC) AS rk
+    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0) q
+    CROSS JOIN cents c)
+  WHERE rk <= {nprobe}
+), scored AS (
+  SELECT DISTINCT qa.query_id, ca.neighbor_id,
+         (floor(({_cosine_raw_sql('qa.q_vec', 'ca.c_vec')}) * 1000000.0 + 0.5)
+            / 1000000.0) AS cosine
+  FROM qa JOIN ca USING (cell_id)
+  WHERE qa.query_id <> ca.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (FAISS IndexIVFPQ analog, faiss_indexer.py:72-137;
     Jégou et al. 2011): Lloyd-refined coarse cells prune candidates,
@@ -1999,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_ivf_parity": _ann_ivf_parity,
+        "ann_ivf_refined_parity": _ann_ivf_refined_parity,
         "ann_pq_topk": _ann_pq_topk,
         "ann_pq_parity": _ann_pq_parity,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -2074,6 +2157,7 @@ def oracle_sql() -> dict[str, str]:
         # Rademacher parity twin below
         "ann_lsh_parity": _ann_lsh_parity_sql(),
         "ann_ivf_parity": _ann_ivf_parity_sql(),
+        "ann_ivf_refined_parity": _ann_ivf_refined_parity_sql(),
         "ann_pq_parity": _ann_pq_parity_sql(),
         "text_token_stats": _TEXT_TOKEN_STATS_SQL,
         "text_langid": _TEXT_LANGID_SQL,

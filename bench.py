@@ -102,6 +102,7 @@ def main() -> int:
         "discover_reattach",
         "ann_lsh_parity",
         "ann_ivf_parity",
+        "ann_ivf_refined_parity",
         "ann_pq_topk",
         "ann_pq_parity",
         "dedup_embedding_lsh_parity",

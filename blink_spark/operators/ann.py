@@ -218,7 +218,11 @@ def ivf_refine_centroids(
             )
         )
         means = (
-            stats.withColumn("m", (F.col("s") / F.col("n")).cast("double"))
+            # cast the EXACT decimal sum to double BEFORE dividing:
+            # decimal division scale rules are engine-specific, but
+            # (exact-decimal -> nearest-double) / bigint is identical
+            # everywhere — what lets a SQL oracle reproduce the means
+            stats.withColumn("m", F.col("s").cast("double") / F.col("n"))
             .groupBy("cell_id")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select(
@@ -604,7 +608,9 @@ def pq_codebooks(
             )
         )
         means = (
-            stats.withColumn("mv", (F.col("s") / F.col("n")).cast("double"))
+            # cast-then-divide: see ivf_refine_centroids on decimal
+            # division portability
+            stats.withColumn("mv", F.col("s").cast("double") / F.col("n"))
             .groupBy("subspace", "code")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pm"))
             .select(
