@@ -732,6 +732,132 @@ WHERE {jac} >= 0.5
 """
 
 
+def _er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+    classic ER pairing strategy alongside the pipeline's LSH banding:
+    per-lang sort by the fuzzy size key n_chars, pair each doc with
+    its 2 successors. One rank exchange, no self-join."""
+    from blink_spark.operators.pairs import sorted_neighborhood_pairs
+
+    d = _t(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    out = sorted_neighborhood_pairs(
+        d, "n_chars", id_col="doc_id", window=3, by="lang"
+    )
+    return out.select(
+        "id_a", "id_b", F.col("sort_gap").cast("long").alias("sort_gap")
+    )
+
+
+_ER_SORTED_NEIGHBORHOOD_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         lead(doc_id, 1) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS n1,
+         lead(doc_id, 2) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS n2
+  FROM documents
+)
+SELECT least(doc_id, n1) AS id_a, greatest(doc_id, n1) AS id_b,
+       1::BIGINT AS sort_gap
+FROM n WHERE n1 IS NOT NULL
+UNION ALL
+SELECT least(doc_id, n2) AS id_a, greatest(doc_id, n2) AS id_b,
+       2::BIGINT AS sort_gap
+FROM n WHERE n2 IS NOT NULL
+"""
+
+
+_FS_FIELDS = ["source", "size", "bucket"]
+_FS_M = {"source": 0.95, "size": 0.9, "bucket": 0.85}
+_FS_U = {"source": 0.25, "size": 0.1, "bucket": 0.35}
+
+
+def _er_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter match weights (Fellegi & Sunter 1969; the Splink
+    model) over sorted-neighborhood candidates: per-field agreement
+    gammas (source equality, |n_chars| proximity, n_chars century
+    bucket) scored with pinned m/u — the log2 weights enter both
+    engines as identical float literals summed in field order, so the
+    oracle is exact. EM estimation of m/u is pytest-proven
+    (tests/test_fellegi_sunter.py: recovers the generating latent-class
+    parameters, bit-deterministic across partitioning)."""
+    from blink_spark.operators import fellegi_sunter as fs
+    from blink_spark.operators.pairs import sorted_neighborhood_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    pairs = sorted_neighborhood_pairs(
+        d, "n_chars", id_col="doc_id", window=3, by="lang"
+    ).select("id_a", "id_b")
+    fa = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("source_a"),
+        F.col("n_chars").alias("n_chars_a"),
+    )
+    fb = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("source_b"),
+        F.col("n_chars").alias("n_chars_b"),
+    )
+    joined = pairs.join(fa, "id_a").join(fb, "id_b")
+    gammas = fs.attach_gammas(
+        joined,
+        {
+            "source": F.col("source_a") == F.col("source_b"),
+            "size": F.abs(F.col("n_chars_a") - F.col("n_chars_b")) <= 2,
+            "bucket": (F.col("n_chars_a") / 100).cast("long")
+            == (F.col("n_chars_b") / 100).cast("long"),
+        },
+    )
+    w = fs.match_weight_col(_FS_FIELDS, fs.field_weights(_FS_M, _FS_U))
+    return gammas.select(
+        "id_a",
+        "id_b",
+        F.col("g_source").cast("long").alias("g_source"),
+        F.col("g_size").cast("long").alias("g_size"),
+        F.col("g_bucket").cast("long").alias("g_bucket"),
+        qround(w, 6).alias("weight"),
+    )
+
+
+def _er_fs_weights_sql() -> str:
+    from blink_spark.operators.fellegi_sunter import field_weights
+
+    ws = field_weights(_FS_M, _FS_U)
+    # ::DOUBLE — DuckDB would otherwise type the 17-digit literals as
+    # DECIMAL and overflow in the qround multiply
+    terms = " + ".join(
+        f"(CASE WHEN g_{f} = 1 THEN {ws[f][0]!r}::DOUBLE "
+        f"ELSE {ws[f][1]!r}::DOUBLE END)"
+        for f in _FS_FIELDS
+    )
+    return f"""
+WITH n AS (
+  SELECT doc_id,
+         lead(doc_id, 1) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS n1,
+         lead(doc_id, 2) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS n2
+  FROM documents
+), p AS (
+  SELECT least(doc_id, n1) AS id_a, greatest(doc_id, n1) AS id_b
+  FROM n WHERE n1 IS NOT NULL
+  UNION ALL
+  SELECT least(doc_id, n2) AS id_a, greatest(doc_id, n2) AS id_b
+  FROM n WHERE n2 IS NOT NULL
+), g AS (
+  SELECT p.id_a, p.id_b,
+         (CASE WHEN a.source = b.source THEN 1 ELSE 0 END)::BIGINT AS g_source,
+         (CASE WHEN abs(a.n_chars - b.n_chars) <= 2 THEN 1 ELSE 0 END)::BIGINT AS g_size,
+         (CASE WHEN CAST(floor(a.n_chars / 100.0) AS BIGINT)
+                    = CAST(floor(b.n_chars / 100.0) AS BIGINT)
+               THEN 1 ELSE 0 END)::BIGINT AS g_bucket
+  FROM p JOIN documents a ON p.id_a = a.doc_id
+         JOIN documents b ON p.id_b = b.doc_id
+)
+SELECT id_a, id_b, g_source, g_size, g_bucket,
+       (floor((0.0 + {terms}) * 1000000.0 + 0.5) / 1000000.0) AS weight
+FROM g
+"""
+
+
 # ====================================================================== ANN
 
 def _ann_queries(df: DataFrame) -> DataFrame:
@@ -2055,6 +2181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_lsh_band_pairs": _er_lsh_band_pairs,
         "er_pair_scores": _scored_pairs,
         "er_topk_edges": _er_topk_edges,
+        "er_sorted_neighborhood": _er_sorted_neighborhood,
+        "er_fs_weights": _er_fs_weights,
         # entity linking (two-table catalogue mode)
         "link_topk_candidates": _link_topk_candidates,
         "link_best_entity": _link_best_entity,
@@ -2128,6 +2256,8 @@ def oracle_sql() -> dict[str, str]:
         "er_lsh_band_pairs": _er_lsh_band_pairs_sql(),
         "er_pair_scores": _SCORED_PAIRS_SQL,
         "er_topk_edges": _ER_TOPK_EDGES_SQL,
+        "er_sorted_neighborhood": _ER_SORTED_NEIGHBORHOOD_SQL,
+        "er_fs_weights": _er_fs_weights_sql(),
         "link_topk_candidates": _link_sql("rank <= 3"),
         "link_best_entity": _LINK_BEST_SQL,
         # link_clusters: G4 over LSH-scored pairs — rows-only (pytest

@@ -108,6 +108,8 @@ def main() -> int:
         "dedup_embedding_lsh_parity",
         "mm_byte_features_parity",
         "eval_dendrogram_chain",
+        "er_sorted_neighborhood",
+        "er_fs_weights",
     ]
     for name in headline + round3:
         t0 = time.time()

@@ -1,0 +1,148 @@
+"""Fellegi-Sunter probabilistic record linkage (beyond-reference).
+
+The reference links records with learned dense embeddings; classical
+record linkage (Fellegi & Sunter, JASA 1969 — the model behind Splink,
+the de-facto Spark ER tool) instead scores per-field agreement
+patterns: each candidate pair gets a vector of agreement indicators
+gamma, and the match weight is
+
+    w = sum_i  g_i * log2(m_i / u_i) + (1 - g_i) * log2((1-m_i)/(1-u_i))
+
+where m_i = P(field i agrees | match) and u_i = P(agrees | non-match).
+m/u are estimated by EM over the unlabeled candidate pairs (the
+naive-Bayes latent-class model, Winkler 1988) — exactly the shape a
+1000-executor cluster wants: the E-step is a pure Column expression
+over the pairs (the current parameters enter as literals), the M-step
+is ONE aggregation job, and only 2k+1 floats ever touch the driver.
+
+Determinism: all M-step sums go through DECIMAL(38,12) (order-free),
+so the fitted parameters — and therefore every downstream weight —
+are bit-identical at any parallelism, the repo-wide discipline.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from blink_spark.functions.rounding import qround
+
+_EPS = 1e-6
+
+
+def attach_gammas(pairs: DataFrame, comparisons: dict[str, Column]) -> DataFrame:
+    """Materialize the agreement vector: one 0/1 column g_<field> per
+    comparison (a boolean Column over the joined pair row, e.g.
+    ``F.col("source_a") == F.col("source_b")``)."""
+    out = pairs
+    for name, cond in comparisons.items():
+        out = out.withColumn(f"g_{name}", cond.cast("int"))
+    return out
+
+
+def _clamp(x: float) -> float:
+    return min(max(x, _EPS), 1.0 - _EPS)
+
+
+def em_fit(
+    gammas: DataFrame,
+    fields: list[str],
+    iters: int = 10,
+    init_m: float | list[float] = 0.9,
+    init_u: float | list[float] = 0.1,
+    init_lambda: float = 0.1,
+) -> dict:
+    """EM for (lambda, m_i, u_i) over the agreement vectors.
+
+    Each iteration: the E-step posterior P(match | gamma) is a single
+    Column expression with the current parameters inlined as literals;
+    the M-step is one groupless aggregation whose sums are EXACT
+    DECIMAL — the result is independent of partitioning and input
+    order. Fixed iteration count (no data-dependent stopping) keeps
+    re-runs bit-identical.
+
+    Returns {"lambda": float, "m": {field: float}, "u": {field: float},
+    "n_pairs": int, "iterations": int}.
+    """
+    k = len(fields)
+    m = list(init_m) if isinstance(init_m, (list, tuple)) else [init_m] * k
+    u = list(init_u) if isinstance(init_u, (list, tuple)) else [init_u] * k
+    lam = _clamp(init_lambda)
+    m = [_clamp(x) for x in m]
+    u = [_clamp(x) for x in u]
+    gcols = [F.col(f"g_{f}") for f in fields]
+    n_pairs = None
+    for _ in range(iters):
+        pm = F.lit(lam)
+        pu = F.lit(1.0 - lam)
+        for gi, mi, ui in zip(gcols, m, u):
+            pm = pm * F.when(gi == 1, F.lit(mi)).otherwise(F.lit(1.0 - mi))
+            pu = pu * F.when(gi == 1, F.lit(ui)).otherwise(F.lit(1.0 - ui))
+        p = (pm / (pm + pu)).alias("p")
+        scored = gammas.select(p, *gcols)
+        dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731 — exact sums
+        aggs = [
+            F.sum(dec(F.col("p"))).alias("sp"),
+            F.sum(dec(F.lit(1.0) - F.col("p"))).alias("snp"),
+            F.count(F.lit(1)).alias("n"),
+        ]
+        for f in fields:
+            aggs.append(F.sum(dec(F.col("p") * F.col(f"g_{f}"))).alias(f"spg_{f}"))
+            aggs.append(
+                F.sum(dec((F.lit(1.0) - F.col("p")) * F.col(f"g_{f}"))).alias(
+                    f"snpg_{f}"
+                )
+            )
+        row = scored.agg(*aggs).collect()[0]
+        sp, snp, n_pairs = float(row["sp"]), float(row["snp"]), int(row["n"])
+        lam = _clamp(sp / n_pairs)
+        m = [_clamp(float(row[f"spg_{f}"]) / sp) for f in fields]
+        u = [_clamp(float(row[f"snpg_{f}"]) / snp) for f in fields]
+    return {
+        "lambda": lam,
+        "m": dict(zip(fields, m)),
+        "u": dict(zip(fields, u)),
+        "n_pairs": n_pairs,
+        "iterations": iters,
+    }
+
+
+def field_weights(m: dict, u: dict) -> dict:
+    """log2 agreement / disagreement weights per field — the literals
+    both the Spark plan and a SQL oracle receive verbatim."""
+    return {
+        f: (
+            math.log2(m[f] / u[f]),
+            math.log2((1.0 - m[f]) / (1.0 - u[f])),
+        )
+        for f in m
+    }
+
+
+def match_weight_col(fields: list[str], weights: dict) -> Column:
+    """The Fellegi-Sunter match weight as one Column: a fixed-order sum
+    of shared float literals selected by the gamma flags — engine-
+    portable (no engine-side log/pow)."""
+    total = F.lit(0.0)
+    for f in fields:
+        wa, wd = weights[f]
+        total = total + F.when(
+            F.col(f"g_{f}") == 1, F.lit(wa)
+        ).otherwise(F.lit(wd))
+    return total
+
+
+def score_pairs(
+    gammas: DataFrame, fields: list[str], m: dict, u: dict, lam: float
+) -> DataFrame:
+    """Adds qrounded ``weight`` and posterior ``p_match`` columns."""
+    w = match_weight_col(fields, field_weights(m, u))
+    prior = math.log2(lam / (1.0 - lam))
+    post = F.lit(1.0) / (
+        F.lit(1.0) + F.pow(F.lit(2.0), -(w + F.lit(prior)))
+    )
+    return gammas.withColumn("weight", qround(w, 6)).withColumn(
+        "p_match", qround(post, 6)
+    )

@@ -74,3 +74,48 @@ def top_k_per_node(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str = "file_id",
+    window: int = 3,
+    by: str | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995)
+    — the classic ER alternative to hash blocking that LSH banding
+    (functions/minhash.py) plays in the main pipeline: sort by a
+    fuzzy key, pair each record with its window-1 successors, so
+    near-misses that hash to different blocks still meet.
+
+    Relationally: ONE rank exchange (a range-partitioned sort — per
+    `by` group when given, which is the 100-TB shape: sort within
+    lang/shard, never globally) and window-1 `lead()` columns exploded
+    into pairs — no self-join at all. Ties on the key order by id, so
+    the pairing is deterministic at any parallelism. Emits canonical
+    (id_a < id_b, sort_gap) rows; a pair can only arise once, so no
+    dedup pass is needed."""
+    if window < 2:
+        raise ValueError("window must be >= 2 (pairs need a successor)")
+    part = W.partitionBy(by) if by else W.partitionBy(F.lit(1))
+    w = part.orderBy(F.col(key_col).asc(), F.col(id_col).asc())
+    neigh = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("sort_gap"),
+                F.lead(F.col(id_col), d).over(w).alias("nid"),
+            )
+            for d in range(1, window)
+        ]
+    )
+    return (
+        df.select(F.col(id_col).alias("sid"), neigh.alias("ns"))
+        .select("sid", F.explode("ns").alias("n"))
+        .where(F.col("n.nid").isNotNull())
+        .select(
+            F.least("sid", "n.nid").alias("id_a"),
+            F.greatest("sid", "n.nid").alias("id_b"),
+            F.col("n.sort_gap").alias("sort_gap"),
+        )
+    )

@@ -40,3 +40,40 @@ def test_block_stats(spark):
     df = spark.createDataFrame(rows, "block_key string, file_id long")
     got = {r["block_key"]: (r["n_rows"], r["n_pairs"]) for r in blocking.block_stats(df).collect()}
     assert got == {"k1": (3, 3), "k2": (1, 0)}
+
+
+def test_sorted_neighborhood_pairs_exact(spark):
+    """window=3 on a sorted key: pair set is exactly the consecutive +
+    skip-one pairs in key order (ties broken by id), per group."""
+    from blink_spark.operators.pairs import sorted_neighborhood_pairs
+
+    rows = [
+        # (id, grp, key) — grp "x": key order is 10<20<20<30, tie on 20
+        (1, "x", 20), (2, "x", 10), (3, "x", 30), (4, "x", 20),
+        # grp "y": two rows -> one pair
+        (5, "y", 7), (6, "y", 5),
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, key long")
+    got = {
+        (r["id_a"], r["id_b"], r["sort_gap"])
+        for r in sorted_neighborhood_pairs(
+            df, "key", id_col="id", window=3, by="grp"
+        ).collect()
+    }
+    # x sorted: 2(10), 1(20), 4(20), 3(30)
+    exp = {
+        (1, 2, 1), (1, 4, 1), (3, 4, 1),   # consecutive
+        (2, 4, 2), (1, 3, 2),              # skip-one
+        (5, 6, 1),                          # y consecutive
+    }
+    assert got == exp
+
+
+def test_sorted_neighborhood_deterministic_across_partitioning(spark):
+    from blink_spark.operators.pairs import sorted_neighborhood_pairs
+
+    rows = [(i, f"g{i % 3}", (i * 37) % 11) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, grp string, key long")
+    a = sorted_neighborhood_pairs(df.repartition(1), "key", "id", 4, "grp")
+    b = sorted_neighborhood_pairs(df.repartition(13), "key", "id", 4, "grp")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -1,0 +1,84 @@
+"""Fellegi-Sunter probabilistic linkage: EM recovers the generating
+latent-class parameters; weights separate matches from non-matches;
+everything is bit-stable across partitioning (DECIMAL M-step sums)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from blink_spark.operators import fellegi_sunter as fs
+
+FIELDS = ["a", "b", "c"]
+TRUE_LAM, TRUE_M, TRUE_U = 0.25, [0.95, 0.9, 0.85], [0.2, 0.1, 0.3]
+
+
+def _latent_pairs(n=4000, seed=11):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        is_match = rng.random() < TRUE_LAM
+        probs = TRUE_M if is_match else TRUE_U
+        gs = [1 if rng.random() < p else 0 for p in probs]
+        rows.append((i, int(is_match), *gs))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def gammas(spark):
+    df = spark.createDataFrame(
+        _latent_pairs(), "pair_id long, is_match int, g_a int, g_b int, g_c int"
+    ).cache()
+    df.count()
+    return df
+
+
+def test_em_recovers_generating_parameters(gammas):
+    fit = fs.em_fit(gammas, FIELDS, iters=25)
+    assert fit["lambda"] == pytest.approx(TRUE_LAM, abs=0.05)
+    for f, tm, tu in zip(FIELDS, TRUE_M, TRUE_U):
+        assert fit["m"][f] == pytest.approx(tm, abs=0.07), (f, fit["m"])
+        assert fit["u"][f] == pytest.approx(tu, abs=0.07), (f, fit["u"])
+
+
+def test_weights_separate_matches(gammas):
+    fit = fs.em_fit(gammas, FIELDS, iters=25)
+    scored = fs.score_pairs(gammas, FIELDS, fit["m"], fit["u"], fit["lambda"])
+    stats = (
+        scored.groupBy("is_match")
+        .agg(F.avg("weight").alias("w"), F.avg("p_match").alias("p"))
+        .collect()
+    )
+    by = {r["is_match"]: r for r in stats}
+    assert by[1]["w"] > by[0]["w"] + 2.0
+    assert by[1]["p"] > 0.6 and by[0]["p"] < 0.3
+    # posterior-0.5 classification F1 on the latent truth
+    pred = scored.withColumn("pred", (F.col("p_match") > 0.5).cast("int"))
+    agg = pred.agg(
+        F.sum(F.col("pred") * F.col("is_match")).alias("tp"),
+        F.sum("pred").alias("pp"),
+        F.sum("is_match").alias("gp"),
+    ).collect()[0]
+    prec = agg["tp"] / agg["pp"]
+    rec = agg["tp"] / agg["gp"]
+    f1 = 2 * prec * rec / (prec + rec)
+    assert f1 >= 0.8, f1
+
+
+def test_em_deterministic_across_partitioning(gammas):
+    f1 = fs.em_fit(gammas.repartition(1), FIELDS, iters=8)
+    f2 = fs.em_fit(gammas.repartition(17), FIELDS, iters=8)
+    assert f1 == f2  # bit-identical, not approx — DECIMAL M-step sums
+
+
+def test_weight_formula_hand_example(spark):
+    """One pair, known m/u: weight = sum of the selected log2 literals."""
+    import math
+
+    df = spark.createDataFrame([(1, 1, 0)], "pair_id long, g_a int, g_b int")
+    m = {"a": 0.9, "b": 0.8}
+    u = {"a": 0.1, "b": 0.4}
+    scored = fs.score_pairs(df, ["a", "b"], m, u, 0.5)
+    row = scored.collect()[0]
+    exp = math.log2(0.9 / 0.1) + math.log2(0.2 / 0.6)
+    assert row["weight"] == pytest.approx(exp, abs=1e-6)
