@@ -134,6 +134,47 @@ def match_weight_col(fields: list[str], weights: dict) -> Column:
     return total
 
 
+def estimate_u_probs(
+    records: DataFrame,
+    comparisons: dict[str, Column],
+    id_col: str = "doc_id",
+    sample: int = 200,
+    seed: int = 42,
+) -> dict:
+    """u_i = P(field i agrees | non-match), estimated from random
+    record pairs (Splink's ``estimate_u_using_random_sampling``): at
+    realistic match prevalence a uniformly random pair is a non-match
+    with overwhelming probability, so the agreement rate over random
+    pairs IS u. Sampling is the repo's deterministic hash-min pattern
+    (smallest xxhash64(id, seed) rows, cross-paired a < b) — the same
+    estimate at any parallelism. sample=200 -> 19,900 pairs; the
+    estimate's cost is O(sample²), never O(n²)."""
+    ids = (
+        records.withColumn("h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("h")
+        .limit(sample)
+        .drop("h")
+    )
+    a = ids.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in records.columns if c != id_col],
+    )
+    b = ids.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in records.columns if c != id_col],
+    )
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    gam = attach_gammas(pairs, comparisons)
+    row = gam.agg(
+        *[F.avg(F.col(f"g_{f}")).alias(f) for f in comparisons],
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return {
+        "u": {f: _clamp(float(row[f])) for f in comparisons},
+        "n_pairs": int(row["n"]),
+    }
+
+
 def score_pairs(
     gammas: DataFrame, fields: list[str], m: dict, u: dict, lam: float
 ) -> DataFrame:

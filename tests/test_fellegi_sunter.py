@@ -82,3 +82,31 @@ def test_weight_formula_hand_example(spark):
     row = scored.collect()[0]
     exp = math.log2(0.9 / 0.1) + math.log2(0.2 / 0.6)
     assert row["weight"] == pytest.approx(exp, abs=1e-6)
+
+
+def test_estimate_u_from_random_pairs(spark):
+    """Records whose field values are uniform over v distinct values:
+    a random pair agrees with probability 1/v — the u estimate must
+    land near it (3 values -> 1/3; 10 values -> 1/10)."""
+    rows = [(i, f"s{i % 3}", i % 10) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, dec long")
+    est = fs.estimate_u_probs(
+        df,
+        {
+            "src": F.col("src_a") == F.col("src_b"),
+            "dec": F.col("dec_a") == F.col("dec_b"),
+        },
+        sample=150,
+    )
+    assert est["n_pairs"] == 150 * 149 // 2
+    assert est["u"]["src"] == pytest.approx(1 / 3, abs=0.05)
+    assert est["u"]["dec"] == pytest.approx(1 / 10, abs=0.04)
+
+
+def test_estimate_u_deterministic_across_partitioning(spark):
+    rows = [(i, f"s{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    comp = {"src": F.col("src_a") == F.col("src_b")}
+    e1 = fs.estimate_u_probs(df.repartition(1), comp, sample=100)
+    e2 = fs.estimate_u_probs(df.repartition(11), comp, sample=100)
+    assert e1 == e2
