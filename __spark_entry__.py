@@ -2150,6 +2150,53 @@ FROM s CROSS JOIN (VALUES ('single'), ('complete'), ('average')) AS l(linkage)
 """
 
 
+def _eval_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B³ precision/recall/F1 (Bagga & Baldwin 1998) of the
+    deterministic groups-of-4 partition against the gold `source`
+    classes — the extrinsic clustering metric alongside pairwise /
+    NMI / ARI. Fully distributed (sparse cells + DECIMAL term sums);
+    the oracle recomputes the closed form over the same fixture."""
+    from blink_spark.eval import bcubed
+
+    labels = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .withColumn("r", F.row_number().over(W.orderBy("doc_id")) - 1)
+        .select(
+            (F.col("r") / 4).cast("long").alias("cluster_id"),
+            F.col("source").alias("entity_id"),
+        )
+    )
+    return bcubed(labels)
+
+
+_EVAL_BCUBED_SQL = """
+WITH d AS (
+  SELECT source, CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 4.0)
+         AS BIGINT) AS pred
+  FROM documents
+), cells AS (
+  SELECT pred, source, count(*) AS o FROM d GROUP BY 1, 2
+), na AS (
+  SELECT pred, sum(o) AS na FROM cells GROUP BY 1
+), nb AS (
+  SELECT source, sum(o) AS nb FROM cells GROUP BY 1
+), s AS (
+  SELECT sum(((c.o * c.o) / na.na)::DECIMAL(38,12)) AS sp,
+         sum(((c.o * c.o) / nb.nb)::DECIMAL(38,12)) AS sr,
+         sum(c.o) AS n
+  FROM cells c JOIN na USING (pred) JOIN nb USING (source)
+), f AS (
+  SELECT CAST(sp AS DOUBLE) / n AS p, CAST(sr AS DOUBLE) / n AS r, n FROM s
+)
+SELECT (floor(p * 1000000.0 + 0.5) / 1000000.0) AS precision,
+       (floor(r * 1000000.0 + 0.5) / 1000000.0) AS recall,
+       (floor((2.0 * p * r / (p + r)) * 1000000.0 + 0.5) / 1000000.0) AS f1,
+       n::BIGINT AS n
+FROM f
+"""
+
+
 def _rel_kmeans2_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 threshold selection, KMeans-style
     (crossencoder/eval_cluster_linking.py:211-215, 233-235): exact 1-D
@@ -2244,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_ari_components": _eval_ari_components,
         "eval_dendrogram_purity": _eval_dendrogram_purity,
         "eval_dendrogram_chain": _eval_dendrogram_chain,
+        "eval_bcubed": _eval_bcubed,
     }
 
 
@@ -2313,4 +2361,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_cluster_hist": _REL_CLUSTER_HIST_SQL,
         "eval_ari_components": _EVAL_ARI_SQL,
         "eval_dendrogram_chain": _EVAL_DENDROGRAM_CHAIN_SQL,
+        "eval_bcubed": _EVAL_BCUBED_SQL,
     }

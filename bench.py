@@ -110,6 +110,7 @@ def main() -> int:
         "eval_dendrogram_chain",
         "er_sorted_neighborhood",
         "er_fs_weights",
+        "eval_bcubed",
     ]
     for name in headline + round3:
         t0 = time.time()

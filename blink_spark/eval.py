@@ -250,6 +250,51 @@ def nmi_ari(clusters: DataFrame, gold: DataFrame, id_col: str = "file_id") -> di
     return {"nmi": nmi, "ari": ari, "n": int(n)}
 
 
+def bcubed(
+    labels: DataFrame, a_col: str = "cluster_id", b_col: str = "entity_id"
+) -> DataFrame:
+    """B³ precision / recall / F1 (Bagga & Baldwin 1998; the extrinsic
+    clustering metric Amigó et al. 2009 recommend over pairwise) —
+    fully distributed, one row out.
+
+    Per item i: precision_i = |pred(i) ∩ gold(i)| / |pred(i)|, so the
+    corpus mean collapses to sums over the SPARSE contingency cells:
+    precision = (1/N)·Σ_cells o²/|pred cluster| and recall =
+    (1/N)·Σ_cells o²/|gold class|. One groupBy builds the cells, two
+    marginal joins attach the cluster/class sizes, and the per-cell
+    terms are summed through DECIMAL(38,12) — order-free, so the
+    metric is bit-identical at any parallelism and reproducible by a
+    SQL oracle (each term is one IEEE divide of exact integers)."""
+    from blink_spark.functions.rounding import qround
+
+    cells = labels.groupBy(a_col, b_col).agg(F.count(F.lit(1)).alias("o"))
+    na = cells.groupBy(a_col).agg(F.sum("o").alias("na"))
+    nb = cells.groupBy(b_col).agg(F.sum("o").alias("nb"))
+    j = cells.join(na, a_col).join(nb, b_col)
+    agg = j.agg(
+        F.sum(
+            ((F.col("o") * F.col("o")) / F.col("na")).cast("decimal(38,12)")
+        ).alias("sp"),
+        F.sum(
+            ((F.col("o") * F.col("o")) / F.col("nb")).cast("decimal(38,12)")
+        ).alias("sr"),
+        F.sum("o").alias("n"),
+    )
+    p = F.col("sp").cast("double") / F.col("n")
+    r = F.col("sr").cast("double") / F.col("n")
+    f1 = F.lit(2.0) * p * r / (p + r)
+    return agg.select(
+        F.when(F.col("n") > 0, qround(p, 6)).otherwise(F.lit(1.0)).alias(
+            "precision"
+        ),
+        F.when(F.col("n") > 0, qround(r, 6)).otherwise(F.lit(1.0)).alias(
+            "recall"
+        ),
+        F.when(F.col("n") > 0, qround(f1, 6)).otherwise(F.lit(1.0)).alias("f1"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+    )
+
+
 def ari_components(
     labels: DataFrame, a_col: str = "cluster_id", b_col: str = "entity_id"
 ) -> DataFrame:

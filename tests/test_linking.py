@@ -367,3 +367,46 @@ def test_link_store_not_poisoned_by_dedup_run(spark, link_fixture, tmp_path):
     assert acc["accuracy"] >= 0.98, acc
     # and the linking stages landed in their own namespace
     assert store.sub("link").exists("s2_scores")
+
+
+def test_bcubed_matches_brute_force(spark):
+    """B³ via the sparse-cell closed form == the per-item definition
+    (Bagga & Baldwin 1998) computed in pure Python."""
+    import random
+
+    from blink_spark.eval import bcubed
+
+    rng = random.Random(5)
+    rows = [(i, rng.randrange(6), rng.randrange(4)) for i in range(300)]
+    df = spark.createDataFrame(rows, "i long, cluster_id long, entity_id long")
+    got = bcubed(df.select("cluster_id", "entity_id")).collect()[0]
+    # brute force: mean over items of overlap/|pred| and overlap/|gold|
+    from collections import Counter
+
+    pred = Counter(c for _, c, _ in rows)
+    gold = Counter(g for _, _, g in rows)
+    cell = Counter((c, g) for _, c, g in rows)
+    p = sum(cell[(c, g)] / pred[c] for _, c, g in rows) / len(rows)
+    r = sum(cell[(c, g)] / gold[g] for _, c, g in rows) / len(rows)
+    f1 = 2 * p * r / (p + r)
+    assert got["precision"] == pytest.approx(p, abs=1e-6)
+    assert got["recall"] == pytest.approx(r, abs=1e-6)
+    assert got["f1"] == pytest.approx(f1, abs=1e-6)
+    assert got["n"] == 300
+
+
+def test_bcubed_perfect_and_degenerate(spark):
+    from blink_spark.eval import bcubed
+
+    same = spark.createDataFrame(
+        [(i % 3, i % 3) for i in range(30)], "cluster_id long, entity_id long"
+    )
+    row = bcubed(same).collect()[0]
+    assert row["precision"] == 1.0 and row["recall"] == 1.0 and row["f1"] == 1.0
+    # everything in one predicted cluster: precision = sum n_g^2 / N^2
+    lump = spark.createDataFrame(
+        [(0, i % 3) for i in range(30)], "cluster_id long, entity_id long"
+    )
+    row = bcubed(lump).collect()[0]
+    assert row["recall"] == 1.0
+    assert row["precision"] == pytest.approx(3 * (10 / 30) * (10 / 30), abs=1e-6)
