@@ -187,3 +187,57 @@ def score_pairs(
     return gammas.withColumn("weight", qround(w, 6)).withColumn(
         "p_match", qround(post, 6)
     )
+
+
+def fs_cluster(
+    records: DataFrame,
+    pairs: DataFrame,
+    comparisons: dict[str, Column],
+    id_col: str = "doc_id",
+    em_iters: int = 10,
+    threshold_p: float = 0.9,
+    init_m: float = 0.9,
+    u_sample: int = 200,
+    seed: int = 42,
+) -> dict:
+    """The full Splink-style workflow in one call: candidate ``pairs``
+    (from any blocking op — LSH banding, sorted-neighborhood) are
+    joined to their feature rows, agreement gammas materialized, u
+    initialized from deterministic random record pairs
+    (:func:`estimate_u_probs`), (lambda, m, u) fitted by EM, pairs
+    scored, and edges with posterior >= threshold_p resolved to
+    clusters by distributed connected components (every record gets a
+    cluster; matchless records are singletons).
+
+    Returns {"clusters": DataFrame(id_col, cluster_id),
+    "scored": DataFrame, "fit": em_fit result, "u0": initial u}."""
+    from blink_spark.operators.connected_components import (
+        assign_clusters,
+        connected_components,
+    )
+
+    feat_cols = [c for c in records.columns if c != id_col]
+    fa = records.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in feat_cols],
+    )
+    fb = records.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in feat_cols],
+    )
+    joined = pairs.select("id_a", "id_b").join(fa, "id_a").join(fb, "id_b")
+    gammas = attach_gammas(joined, comparisons)
+    fields = list(comparisons)
+    u0 = estimate_u_probs(records, comparisons, id_col, u_sample, seed)["u"]
+    fit = em_fit(
+        gammas,
+        fields,
+        iters=em_iters,
+        init_m=init_m,
+        init_u=[u0[f] for f in fields],
+    )
+    scored = score_pairs(gammas, fields, fit["m"], fit["u"], fit["lambda"])
+    edges = scored.where(F.col("p_match") >= threshold_p).select("id_a", "id_b")
+    comp = connected_components(edges)
+    clusters = assign_clusters(records.select(id_col), comp, id_col)
+    return {"clusters": clusters, "scored": scored, "fit": fit, "u0": u0}

@@ -110,3 +110,61 @@ def test_estimate_u_deterministic_across_partitioning(spark):
     e1 = fs.estimate_u_probs(df.repartition(1), comp, sample=100)
     e2 = fs.estimate_u_probs(df.repartition(11), comp, sample=100)
     assert e1 == e2
+
+
+def test_fs_cluster_end_to_end(spark):
+    """Full Splink-style workflow on a synthetic duplicate corpus:
+    sorted-neighborhood blocking -> gammas -> u from random pairs ->
+    EM -> posterior threshold -> CC. Recovered clusters must match the
+    gold entities at pairwise F1 >= 0.95."""
+    from blink_spark.operators.pairs import sorted_neighborhood_pairs
+
+    rng = random.Random(7)
+    rows = []
+    rid = 0
+    for e in range(120):
+        for _ in range(3):  # three noisy copies per entity
+            src = f"src{e}" if rng.random() > 0.1 else "srcX"
+            rows.append((rid, e, src, 10 * e + rng.randrange(2), e % 97))
+            rid += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, gold long, src string, size long, dec long"
+    ).cache()
+    df.count()
+    records = df.select("doc_id", "src", "size", "dec")
+    pairs = sorted_neighborhood_pairs(records, "size", id_col="doc_id", window=5)
+    res = fs.fs_cluster(
+        records,
+        pairs,
+        {
+            "src": F.col("src_a") == F.col("src_b"),
+            "size": F.abs(F.col("size_a") - F.col("size_b")) <= 1,
+            "dec": F.col("dec_a") == F.col("dec_b"),
+        },
+        em_iters=15,
+        threshold_p=0.9,
+    )
+    # EM must find high m / low u without labels
+    assert all(v > 0.6 for v in res["fit"]["m"].values()), res["fit"]
+    assert all(v < 0.4 for v in res["fit"]["u"].values()), res["fit"]
+    # pairwise F1 of recovered clusters vs gold entities
+    joined = res["clusters"].join(df.select("doc_id", "gold"), "doc_id")
+    both = joined.alias("x").join(
+        joined.alias("y"), F.col("x.doc_id") < F.col("y.doc_id")
+    )
+    agg = both.agg(
+        F.sum(
+            (
+                (F.col("x.cluster_id") == F.col("y.cluster_id"))
+                & (F.col("x.gold") == F.col("y.gold"))
+            ).cast("long")
+        ).alias("tp"),
+        F.sum(
+            (F.col("x.cluster_id") == F.col("y.cluster_id")).cast("long")
+        ).alias("pp"),
+        F.sum((F.col("x.gold") == F.col("y.gold")).cast("long")).alias("gp"),
+    ).collect()[0]
+    prec = agg["tp"] / agg["pp"]
+    rec = agg["tp"] / agg["gp"]
+    f1 = 2 * prec * rec / (prec + rec)
+    assert f1 >= 0.95, (f1, prec, rec)
