@@ -89,33 +89,80 @@ def sorted_neighborhood_pairs(
     fuzzy key, pair each record with its window-1 successors, so
     near-misses that hash to different blocks still meet.
 
-    Relationally: ONE rank exchange (a range-partitioned sort — per
-    `by` group when given, which is the 100-TB shape: sort within
-    lang/shard, never globally) and window-1 `lead()` columns exploded
-    into pairs — no self-join at all. Ties on the key order by id, so
-    the pairing is deterministic at any parallelism. Emits canonical
-    (id_a < id_b, sort_gap) rows; a pair can only arise once, so no
-    dedup pass is needed."""
+    With `by` (the preferred 100-TB shape — sort within lang/shard):
+    ONE rank exchange per group and window-1 `lead()` columns exploded
+    into pairs, no self-join. Without `by`, a single-partition global
+    window would serialize the whole corpus through one task, so the
+    global path instead computes the exact global rank with the
+    range-partition + offset pattern (repartitionByRange on (key, id),
+    per-partition row_number, broadcast partition offsets — rank is
+    exact for ANY range boundaries) and pairs ranks via window-1
+    rn = rn+d equi-joins. Ties on the key order by id, so the pairing
+    is deterministic at any parallelism. Emits canonical (id_a < id_b,
+    sort_gap) rows; a pair can only arise once, so no dedup pass is
+    needed."""
     if window < 2:
         raise ValueError("window must be >= 2 (pairs need a successor)")
-    part = W.partitionBy(by) if by else W.partitionBy(F.lit(1))
-    w = part.orderBy(F.col(key_col).asc(), F.col(id_col).asc())
-    neigh = F.array(
-        *[
-            F.struct(
-                F.lit(d).alias("sort_gap"),
-                F.lead(F.col(id_col), d).over(w).alias("nid"),
-            )
-            for d in range(1, window)
-        ]
-    )
-    return (
-        df.select(F.col(id_col).alias("sid"), neigh.alias("ns"))
-        .select("sid", F.explode("ns").alias("n"))
-        .where(F.col("n.nid").isNotNull())
-        .select(
-            F.least("sid", "n.nid").alias("id_a"),
-            F.greatest("sid", "n.nid").alias("id_b"),
-            F.col("n.sort_gap").alias("sort_gap"),
+    if by:
+        w = W.partitionBy(by).orderBy(F.col(key_col).asc(), F.col(id_col).asc())
+        neigh = F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("sort_gap"),
+                    F.lead(F.col(id_col), d).over(w).alias("nid"),
+                )
+                for d in range(1, window)
+            ]
         )
+        return (
+            df.select(F.col(id_col).alias("sid"), neigh.alias("ns"))
+            .select("sid", F.explode("ns").alias("n"))
+            .where(F.col("n.nid").isNotNull())
+            .select(
+                F.least("sid", "n.nid").alias("id_a"),
+                F.greatest("sid", "n.nid").alias("id_b"),
+                F.col("n.sort_gap").alias("sort_gap"),
+            )
+        )
+    # global path: exact global rank without a one-task window
+    ranked = (
+        df.select(F.col(key_col).alias("k"), F.col(id_col).alias("sid"))
+        .repartitionByRange(F.col("k"), F.col("sid"))
+        .withColumn("pid", F.spark_partition_id())
     )
+    wl = W.partitionBy("pid").orderBy(F.col("k").asc(), F.col("sid").asc())
+    local = ranked.withColumn("lrn", F.row_number().over(wl))
+    counts = (
+        local.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    )
+    woff = W.orderBy("pid")  # one row per partition — bounded window
+    offsets = counts.select(
+        "pid",
+        (F.sum("c").over(woff.rowsBetween(W.unboundedPreceding, -1))).alias(
+            "off"
+        ),
+    ).fillna(0, ["off"])
+    rn = local.join(F.broadcast(offsets), "pid").select(
+        "sid", (F.col("lrn") + F.col("off")).alias("rn")
+    )
+    if window > 2:
+        # the rank table is consumed once per offset join — spill so
+        # the range sort runs once
+        from blink_spark.io.scratch import spill_scratch
+
+        rn, _ = spill_scratch(rn, "sn_rank")
+    out = None
+    for d in range(1, window):
+        succ = rn.select(
+            (F.col("rn") - d).alias("rn"), F.col("sid").alias("nid")
+        )
+        p = (
+            rn.join(succ, "rn")
+            .select(
+                F.least("sid", "nid").alias("id_a"),
+                F.greatest("sid", "nid").alias("id_b"),
+                F.lit(d).alias("sort_gap"),
+            )
+        )
+        out = p if out is None else out.unionByName(p)
+    return out

@@ -77,3 +77,28 @@ def test_sorted_neighborhood_deterministic_across_partitioning(spark):
     a = sorted_neighborhood_pairs(df.repartition(1), "key", "id", 4, "grp")
     b = sorted_neighborhood_pairs(df.repartition(13), "key", "id", 4, "grp")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_sorted_neighborhood_global_equals_grouped_single(spark):
+    """The scalable global-rank path (by=None) must produce exactly the
+    pairs the windowed path produces over one constant group."""
+    from blink_spark.operators.pairs import sorted_neighborhood_pairs
+
+    rows = [(i, (i * 53) % 17) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, key long")
+    g = df.withColumn("one", F.lit("g"))
+    via_window = sorted_neighborhood_pairs(g, "key", "id", 4, by="one")
+    via_global = sorted_neighborhood_pairs(df, "key", "id", 4, by=None)
+    assert sorted(map(tuple, via_window.collect())) == sorted(
+        map(tuple, via_global.collect())
+    )
+
+
+def test_sorted_neighborhood_global_deterministic(spark):
+    from blink_spark.operators.pairs import sorted_neighborhood_pairs
+
+    rows = [(i, (i * 29) % 13) for i in range(150)]
+    df = spark.createDataFrame(rows, "id long, key long")
+    a = sorted_neighborhood_pairs(df.repartition(1), "key", "id", 3)
+    b = sorted_neighborhood_pairs(df.repartition(7), "key", "id", 3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
