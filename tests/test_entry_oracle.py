@@ -30,6 +30,13 @@ FAST_QUERIES = [
     "rel_agg_q1",
     "rel_topk_window",
     "rel_minmax_scale",
+    # round-3 additions
+    "eval_dendrogram_chain",
+    "ann_pq_parity",
+    "ann_ivf_refined_parity",
+    "er_sorted_neighborhood",
+    "er_fs_weights",
+    "eval_bcubed",
 ]
 
 pytestmark = pytest.mark.skipif(
