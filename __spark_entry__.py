@@ -765,6 +765,105 @@ FROM n WHERE n2 IS NOT NULL
 """
 
 
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _samp_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hashing doc_id into
+    [0,1) — append-stable, partition-independent (functions/sampling.
+    hash_split, md5 parity hash so the oracle reproduces the buckets)."""
+    from blink_spark.functions.sampling import hash_split
+
+    return hash_split(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        _SPLIT_FRACTIONS,
+        id_col="doc_id",
+        id_hash="md5",
+    )
+
+
+def _samp_hash_split_sql() -> str:
+    # the cut points MUST be the same accumulated doubles Spark uses
+    names = list(_SPLIT_FRACTIONS)
+    cum = 0.0
+    case = "CASE"
+    for name in names[:-1]:
+        cum += _SPLIT_FRACTIONS[name]
+        case += f" WHEN h < {cum!r} THEN '{name}'"
+    case += f" ELSE '{names[-1]}' END"
+    return f"""
+SELECT doc_id, {case} AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS h
+  FROM documents
+)
+"""
+
+
+def _samp_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-proportion split within each lang stratum (rank-by-hash,
+    cut at ceil(cum·n)) — every stratum contributes its exact share."""
+    from blink_spark.functions.sampling import stratified_exact_split
+
+    return stratified_exact_split(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        _SPLIT_FRACTIONS,
+        strata_col="lang",
+        id_col="doc_id",
+        id_hash="md5",
+    )
+
+
+def _samp_stratified_split_sql() -> str:
+    names = list(_SPLIT_FRACTIONS)
+    cum = 0.0
+    case = "CASE"
+    for name in names[:-1]:
+        cum += _SPLIT_FRACTIONS[name]
+        case += f" WHEN rn <= ceil({cum!r} * n) THEN '{name}'"
+    case += f" ELSE '{names[-1]}' END"
+    return f"""
+SELECT doc_id, lang, {case} AS split
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+                    doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+"""
+
+
+def _samp_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10-doc-per-lang eval sample: smallest md5(doc_id)
+    per lang — append-stable, the repo's hash-min pattern."""
+    from blink_spark.functions.sampling import per_group_sample
+
+    return per_group_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        10,
+        group_col="lang",
+        id_col="doc_id",
+        id_hash="md5",
+    )
+
+
+_SAMP_GROUP_SAMPLE_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+                    doc_id) AS rn
+  FROM documents
+) WHERE rn <= 10
+"""
+
+
 _FS_FIELDS = ["source", "size", "bucket"]
 _FS_M = {"source": 0.95, "size": 0.9, "bucket": 0.85}
 _FS_U = {"source": 0.25, "size": 0.1, "bucket": 0.35}
@@ -2230,6 +2329,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_topk_edges": _er_topk_edges,
         "er_sorted_neighborhood": _er_sorted_neighborhood,
         "er_fs_weights": _er_fs_weights,
+        # deterministic splitting / sampling (training-pipeline ops)
+        "samp_hash_split": _samp_hash_split,
+        "samp_stratified_split": _samp_stratified_split,
+        "samp_group_sample": _samp_group_sample,
         # entity linking (two-table catalogue mode)
         "link_topk_candidates": _link_topk_candidates,
         "link_best_entity": _link_best_entity,
@@ -2306,6 +2409,9 @@ def oracle_sql() -> dict[str, str]:
         "er_topk_edges": _ER_TOPK_EDGES_SQL,
         "er_sorted_neighborhood": _ER_SORTED_NEIGHBORHOOD_SQL,
         "er_fs_weights": _er_fs_weights_sql(),
+        "samp_hash_split": _samp_hash_split_sql(),
+        "samp_stratified_split": _samp_stratified_split_sql(),
+        "samp_group_sample": _SAMP_GROUP_SAMPLE_SQL,
         "link_topk_candidates": _link_sql("rank <= 3"),
         "link_best_entity": _LINK_BEST_SQL,
         # link_clusters: G4 over LSH-scored pairs — rows-only (pytest
