@@ -111,6 +111,9 @@ def main() -> int:
         "er_sorted_neighborhood",
         "er_fs_weights",
         "eval_bcubed",
+        "samp_hash_split",
+        "samp_stratified_split",
+        "samp_group_sample",
     ]
     for name in headline + round3:
         t0 = time.time()
