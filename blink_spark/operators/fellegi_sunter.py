@@ -73,6 +73,12 @@ def em_fit(
     m = [_clamp(x) for x in m]
     u = [_clamp(x) for x in u]
     gcols = [F.col(f"g_{f}") for f in fields]
+    # every EM iteration aggregates over the gammas — without a stage
+    # boundary each pass would re-execute the candidate-pair joins that
+    # produced them; project to the k agreement columns and spill once
+    from blink_spark.io.scratch import spill_scratch
+
+    gammas, _ = spill_scratch(gammas.select(*gcols), "fs_gammas")
     n_pairs = None
     for _ in range(iters):
         pm = F.lit(lam)
