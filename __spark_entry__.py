@@ -795,7 +795,7 @@ def _samp_hash_split_sql() -> str:
 SELECT doc_id, {case} AS split
 FROM (
   SELECT doc_id,
-         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+         ('0x' || substr(md5(doc_id::VARCHAR || '-42'), 1, 15))::BIGINT
            / 1152921504606846976.0 AS h
   FROM documents
 )
@@ -830,7 +830,7 @@ FROM (
   SELECT doc_id, lang,
          row_number() OVER (
            PARTITION BY lang
-           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '-42'), 1, 15))::BIGINT,
                     doc_id) AS rn,
          count(*) OVER (PARTITION BY lang) AS n
   FROM documents
@@ -857,7 +857,7 @@ SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
          row_number() OVER (
            PARTITION BY lang
-           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '-42'), 1, 15))::BIGINT,
                     doc_id) AS rn
   FROM documents
 ) WHERE rn <= 10
@@ -2214,8 +2214,16 @@ def _eval_dendrogram_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1.0) - F.col("rn").cast("double") * F.lit(1e-4)).alias("score"),
     ).where(F.col("dst").isNotNull())
     out_rows = []
+    n_docs = lab.count()
     for linkage in ("single", "complete", "average"):
-        r = dendrogram_purity(edges, lab, linkage=linkage, label_cols=("doc_id", "cls"))
+        # max_leaves covers the whole table: the closed form is over the
+        # FULL chains, so the eval-set sampling must never kick in (at
+        # default max_leaves=20k a >20k-doc table would fragment the
+        # chains and silently diverge from the oracle)
+        r = dendrogram_purity(
+            edges, lab, linkage=linkage, label_cols=("doc_id", "cls"),
+            max_leaves=max(n_docs, 1),
+        )
         out_rows.append(
             (linkage, qround_py(r["purity"]), int(r["n_pairs"]), int(r["n_leaves"]))
         )

@@ -22,10 +22,14 @@ _HASH_SPACE = float(1 << 60)
 
 
 def _id_hash64(id_col: str, seed: int, id_hash: str):
+    """Both branches honor ``seed``: the md5 parity hash folds it into
+    the hashed string (md5("<id>-<seed>")) so seed-varied splits (e.g.
+    cross-validation folds) differ under either hash. A DuckDB twin
+    must hash the same concatenation: md5(id::VARCHAR || '-<seed>')."""
     if id_hash == "md5":
         return F.expr(
-            f"cast(conv(substring(md5(cast({id_col} as string)), 1, 15), 16, 10) "
-            f"as bigint)"
+            f"cast(conv(substring(md5(concat(cast({id_col} as string), "
+            f"'-{seed}')), 1, 15), 16, 10) as bigint)"
         )
     return F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 60))
 

@@ -170,10 +170,9 @@ def ivf_cells_df(
     portability construction shared with the MinHash parity kernel);
     production stays xxhash."""
     if id_hash == "md5":
-        h = F.expr(
-            f"cast(conv(substring(md5(cast({id_col} as string)), 1, 15), 16, 10) "
-            f"as bigint)"
-        )
+        from blink_spark.functions.parityhash import md5_prefix_hash64
+
+        h = md5_prefix_hash64(id_col)
     else:
         h = F.xxhash64(F.col(id_col), F.lit(seed))
     sample = (
@@ -575,10 +574,9 @@ def pq_codebooks(
     ivf_refine_centroids). id_hash="md5" makes the sample
     SQL-reproducible for the parity oracle."""
     if id_hash == "md5":
-        h = F.expr(
-            f"cast(conv(substring(md5(cast({id_col} as string)), 1, 15), 16, 10) "
-            f"as bigint)"
-        )
+        from blink_spark.functions.parityhash import md5_prefix_hash64
+
+        h = md5_prefix_hash64(id_col)
     else:
         h = F.xxhash64(F.col(id_col), F.lit(seed))
     sample = (

@@ -35,10 +35,16 @@ _EPS = 1e-6
 def attach_gammas(pairs: DataFrame, comparisons: dict[str, Column]) -> DataFrame:
     """Materialize the agreement vector: one 0/1 column g_<field> per
     comparison (a boolean Column over the joined pair row, e.g.
-    ``F.col("source_a") == F.col("source_b")``)."""
+    ``F.col("source_a") == F.col("source_b")``). A NULL comparison
+    (null field on either side) counts as DISAGREEMENT (0) — without
+    the coalesce it would stay NULL, silently dropping out of the EM
+    sums while the E-step treats it as firm disagreement, and
+    diverging from a SQL CASE-WHEN twin."""
     out = pairs
     for name, cond in comparisons.items():
-        out = out.withColumn(f"g_{name}", cond.cast("int"))
+        out = out.withColumn(
+            f"g_{name}", F.coalesce(cond.cast("int"), F.lit(0))
+        )
     return out
 
 
@@ -102,7 +108,17 @@ def em_fit(
                 )
             )
         row = scored.agg(*aggs).collect()[0]
-        sp, snp, n_pairs = float(row["sp"]), float(row["snp"]), int(row["n"])
+        n_pairs = int(row["n"])
+        if n_pairs == 0:
+            raise ValueError(
+                "em_fit: no candidate pairs — blocking produced an empty "
+                "gamma table; widen the blocking before fitting"
+            )
+        # max-guard: a degenerate posterior (all pairs certain matches
+        # or certain non-matches) zeroes one denominator; the clamp
+        # then pins the ratio instead of dividing by zero
+        sp = max(float(row["sp"]), _EPS)
+        snp = max(float(row["snp"]), _EPS)
         lam = _clamp(sp / n_pairs)
         m = [_clamp(float(row[f"spg_{f}"]) / sp) for f in fields]
         u = [_clamp(float(row[f"snpg_{f}"]) / snp) for f in fields]
@@ -156,10 +172,10 @@ def estimate_u_probs(
     estimate at any parallelism. sample=200 -> 19,900 pairs; the
     estimate's cost is O(sample²), never O(n²)."""
     ids = (
-        records.withColumn("h", F.xxhash64(F.col(id_col), F.lit(seed)))
-        .orderBy("h")
+        records.withColumn("_u_hash", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("_u_hash")
         .limit(sample)
-        .drop("h")
+        .drop("_u_hash")
     )
     a = ids.select(
         F.col(id_col).alias("id_a"),
@@ -233,6 +249,11 @@ def fs_cluster(
     )
     joined = pairs.select("id_a", "id_b").join(fa, "id_a").join(fb, "id_b")
     gammas = attach_gammas(joined, comparisons)
+    # the double feature-join lineage has three consumers (EM, scoring,
+    # the thresholded edge set fed to CC) — materialize it once
+    from blink_spark.io.scratch import spill_scratch
+
+    gammas, _ = spill_scratch(gammas, "fs_gammas_full")
     fields = list(comparisons)
     u0 = estimate_u_probs(records, comparisons, id_col, u_sample, seed)["u"]
     fit = em_fit(

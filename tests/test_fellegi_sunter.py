@@ -168,3 +168,19 @@ def test_fs_cluster_end_to_end(spark):
     rec = agg["tp"] / agg["gp"]
     f1 = 2 * prec * rec / (prec + rec)
     assert f1 >= 0.95, (f1, prec, rec)
+
+
+def test_em_fit_empty_pairs_raises(spark):
+    empty = spark.createDataFrame([], "g_a int, g_b int")
+    with pytest.raises(ValueError, match="no candidate pairs"):
+        fs.em_fit(empty, ["a", "b"], iters=1)
+
+
+def test_gammas_null_fields_count_as_disagreement(spark):
+    df = spark.createDataFrame(
+        [(1, "x", "x"), (2, None, "x"), (3, None, None)],
+        "pair_id long, src_a string, src_b string",
+    )
+    g = fs.attach_gammas(df, {"src": F.col("src_a") == F.col("src_b")})
+    got = {r["pair_id"]: r["g_src"] for r in g.collect()}
+    assert got == {1: 1, 2: 0, 3: 0}  # never NULL

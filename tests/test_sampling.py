@@ -80,3 +80,10 @@ def test_per_group_sample_append_stable_subset(docs):
     a = sorted(map(tuple, per_group_sample(docs, 5, group_col="grp").collect()))
     b = sorted(map(tuple, per_group_sample(docs, 5, group_col="grp").collect()))
     assert a == b
+
+
+def test_md5_hash_honors_seed(docs):
+    """Seed-varied md5 splits must differ (cross-validation folds)."""
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, FR, seed=1, id_hash="md5").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs, FR, seed=2, id_hash="md5").collect()}
+    assert any(a[k] != b[k] for k in a)
