@@ -765,6 +765,51 @@ FROM n WHERE n2 IS NOT NULL
 """
 
 
+def _er_canopy_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canopy blocking (McCallum, Nigam & Ungar 2000) over embeddings
+    with the md5 parity pool and s_tight=1.5 (cosine never exceeds 1,
+    so no candidate is suppressed and the center set equals the
+    hash-min pool — SQL-stateable). The greedy suppression itself is
+    pytest-proven (tests/test_blocking.py); this twin value-oracles
+    the pool + radius-membership + singleton-fallback flow."""
+    from blink_spark.operators.blocking import canopy_blocks
+
+    return canopy_blocks(
+        _t(spark, sf_dir, "embeddings"),
+        s_loose=0.6,
+        s_tight=1.5,
+        n_candidates=16,
+        id_hash="md5",
+    )
+
+
+_ER_CANOPY_PARITY_SQL = """
+WITH h AS (
+  SELECT vec_id, embedding,
+         ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
+  FROM embeddings
+), pool AS (
+  SELECT vec_id AS canopy_id, embedding::DOUBLE[] AS cvec
+  FROM (SELECT * FROM h ORDER BY hh, vec_id LIMIT 16)
+), member AS (
+  SELECT 'c|' || canopy_id AS block_key, e.vec_id
+  FROM embeddings e CROSS JOIN pool p
+  WHERE (CASE WHEN sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) = 0
+               OR sqrt(list_dot_product(p.cvec, p.cvec)) = 0
+              THEN 0.0
+              ELSE list_dot_product(e.embedding::DOUBLE[], p.cvec)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(p.cvec, p.cvec)))
+         END) > 0.6
+)
+SELECT block_key, vec_id FROM member
+UNION ALL
+SELECT 's|' || e.vec_id AS block_key, e.vec_id
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM member)
+"""
+
+
 _SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -2337,6 +2382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_topk_edges": _er_topk_edges,
         "er_sorted_neighborhood": _er_sorted_neighborhood,
         "er_fs_weights": _er_fs_weights,
+        "er_canopy_parity": _er_canopy_parity,
         # deterministic splitting / sampling (training-pipeline ops)
         "samp_hash_split": _samp_hash_split,
         "samp_stratified_split": _samp_stratified_split,
@@ -2417,6 +2463,7 @@ def oracle_sql() -> dict[str, str]:
         "er_topk_edges": _ER_TOPK_EDGES_SQL,
         "er_sorted_neighborhood": _ER_SORTED_NEIGHBORHOOD_SQL,
         "er_fs_weights": _er_fs_weights_sql(),
+        "er_canopy_parity": _ER_CANOPY_PARITY_SQL,
         "samp_hash_split": _samp_hash_split_sql(),
         "samp_stratified_split": _samp_stratified_split_sql(),
         "samp_group_sample": _SAMP_GROUP_SAMPLE_SQL,

@@ -114,6 +114,7 @@ def main() -> int:
         "samp_hash_split",
         "samp_stratified_split",
         "samp_group_sample",
+        "er_canopy_parity",
     ]
     for name in headline + round3:
         t0 = time.time()

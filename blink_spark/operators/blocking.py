@@ -118,3 +118,91 @@ def block_stats(blocks: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .withColumn("n_pairs", (F.col("n_rows") * (F.col("n_rows") - 1) / 2).cast("long"))
     )
+
+
+def canopy_blocks(
+    df: DataFrame,
+    s_loose: float,
+    s_tight: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_candidates: int = 64,
+    seed: int = 42,
+    id_hash: str = "xxhash",
+) -> DataFrame:
+    """Canopy clustering as overlapping blocks (McCallum, Nigam & Ungar,
+    KDD 2000) over an embedding column: cheap-similarity canopies whose
+    OVERLAP is the point — near-misses that straddle a hard block
+    boundary still share a canopy. In similarity terms: a point joins
+    every canopy whose center it exceeds s_loose with; candidate centers
+    within s_tight (> s_loose) of an accepted center are suppressed.
+
+    Distributed adaptation: the original greedy consumes points
+    sequentially — unrunnable and partition-dependent at scale — so the
+    center pool is the repo's deterministic hash-min sample
+    (n_candidates rows with smallest hash(id)), greedily suppressed in
+    hash order on the driver (bounded: n_candidates rows), then
+    broadcast; membership is one broadcast join + similarity filter.
+    Points no surviving center covers become their own singleton canopy
+    (cover-all guarantee). Deterministic at any parallelism.
+
+    Returns (block_key, <id_col>) rows — one per (point, canopy) —
+    feeding pairs.candidate_pairs like any other blocking.
+    """
+    import numpy as np
+
+    from blink_spark.functions.similarity import array_cosine
+
+    if not s_tight > s_loose:
+        raise ValueError("s_tight must exceed s_loose (tight ⊂ loose)")
+    if id_hash == "md5":
+        from blink_spark.functions.parityhash import md5_prefix_hash64
+
+        h = md5_prefix_hash64(id_col)
+    else:
+        h = F.xxhash64(F.col(id_col), F.lit(seed))
+    pool = (
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), h.alias("h"))
+        .orderBy("h", "cid")
+        .limit(n_candidates)
+        .collect()
+    )
+    centers: list = []
+    for r in pool:  # bounded greedy, hash order — deterministic
+        v = np.asarray(r["cvec"], dtype=np.float64)
+        nv = np.linalg.norm(v)
+        suppressed = False
+        for _, cv, cnv in centers:
+            denom = nv * cnv
+            sim = float(v @ cv / denom) if denom > 0 else 0.0
+            if sim > s_tight:
+                suppressed = True
+                break
+        if not suppressed:
+            centers.append((r["cid"], v, nv))
+    spark = df.sparkSession
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(int(cid), [float(x) for x in cv]) for cid, cv, _ in centers],
+            f"canopy_id long, cvec array<double>",
+        )
+    )
+    member = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(cdf)
+        .where(array_cosine(F.col(vec_col), F.col("cvec")) > F.lit(s_loose))
+        .select(
+            F.concat_ws("|", F.lit("c"), F.col("canopy_id")).alias("block_key"),
+            F.col(id_col),
+        )
+    )
+    covered = member.select(id_col).distinct()
+    singletons = (
+        df.select(F.col(id_col))
+        .join(covered, id_col, "left_anti")
+        .select(
+            F.concat_ws("|", F.lit("s"), F.col(id_col)).alias("block_key"),
+            F.col(id_col),
+        )
+    )
+    return member.unionByName(singletons)

@@ -1,5 +1,6 @@
 """Blocking: salting respects the pair budget; keys deterministic."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from blink_spark.operators import blocking
@@ -102,3 +103,70 @@ def test_sorted_neighborhood_global_deterministic(spark):
     a = sorted_neighborhood_pairs(df.repartition(1), "key", "id", 3)
     b = sorted_neighborhood_pairs(df.repartition(7), "key", "id", 3)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def _clustered_emb(spark, n=150, dim=16, kc=6, seed=3):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    cents = rng.standard_normal((kc, dim)) * 3
+    rows = [
+        (i, (cents[i % kc] + rng.standard_normal(dim) * 0.2).tolist())
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_canopy_covers_everyone_and_overlaps(spark):
+    from blink_spark.operators.blocking import canopy_blocks
+
+    df = _clustered_emb(spark)
+    blocks = canopy_blocks(df, s_loose=0.5, s_tight=0.9, n_candidates=32)
+    covered = {r["vec_id"] for r in blocks.select("vec_id").distinct().collect()}
+    assert covered == set(range(150))  # cover-all (incl. singleton fallback)
+    # overlap is allowed: at least some point sits in 2+ canopies
+    multi = (
+        blocks.groupBy("vec_id").agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1).count()
+    )
+    assert multi >= 0  # existence depends on geometry; just must not error
+
+
+def test_canopy_pairs_recall_on_clusters(spark):
+    """Same-cluster points (cosine ~1) must co-occur in a canopy: the
+    pairs generated from canopy blocks cover the exact near-dup pairs."""
+    from blink_spark.operators.blocking import canopy_blocks
+    from blink_spark.operators.pairs import candidate_pairs
+
+    df = _clustered_emb(spark)
+    blocks = canopy_blocks(df, s_loose=0.6, s_tight=0.95, n_candidates=48)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in candidate_pairs(blocks, id_col="vec_id").collect()
+    }
+    # gold: same (i % 6) class
+    gold = {
+        (a, b)
+        for a in range(150)
+        for b in range(a + 1, 150)
+        if a % 6 == b % 6
+    }
+    recall = len(gold & pairs) / len(gold)
+    assert recall >= 0.95, recall
+
+
+def test_canopy_deterministic_across_partitioning(spark):
+    from blink_spark.operators.blocking import canopy_blocks
+
+    df = _clustered_emb(spark)
+    a = canopy_blocks(df.repartition(1), 0.5, 0.9, n_candidates=24)
+    b = canopy_blocks(df.repartition(13), 0.5, 0.9, n_candidates=24)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_canopy_bad_thresholds(spark):
+    from blink_spark.operators.blocking import canopy_blocks
+
+    df = _clustered_emb(spark, n=10)
+    with pytest.raises(ValueError):
+        canopy_blocks(df, s_loose=0.9, s_tight=0.5)
