@@ -268,6 +268,12 @@ def bcubed(
     from blink_spark.functions.rounding import qround
 
     cells = labels.groupBy(a_col, b_col).agg(F.count(F.lit(1)).alias("o"))
+    # three consumers (both marginals + the join) would each re-scan
+    # the corpus to rebuild the cells — materialize the sparse
+    # contingency once (bounded by co-occurrence cells, not rows)
+    from blink_spark.io.scratch import spill_scratch
+
+    cells, _ = spill_scratch(cells, "bcubed_cells")
     na = cells.groupBy(a_col).agg(F.sum("o").alias("na"))
     nb = cells.groupBy(b_col).agg(F.sum("o").alias("nb"))
     j = cells.join(na, a_col).join(nb, b_col)
