@@ -67,6 +67,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "mentions to nearest survivors, sweep thresholds, "
                         "report NMI/ARI. Needs gold: --synthetic-catalogue "
                         "--eval-gold, or --gold")
+    # ---- probabilistic (Fellegi-Sunter) dedup mode ----
+    p.add_argument("--fs", action="store_true",
+                   help="PROBABILISTIC mode: Fellegi-Sunter dedup on cheap "
+                        "per-file features (size/token/simhash proximity "
+                        "gammas, EM-fitted m/u, posterior-thresholded CC) — "
+                        "the classical complement to the MinHash pipeline")
+    p.add_argument("--fs-threshold", type=float, default=0.9,
+                   help="posterior match probability cut (default 0.9)")
     p.add_argument("--gold", default=None,
                    help="parquet table (file_id, entity_id) of gold labels "
                         "for --discover-drop with a real catalogue")
@@ -185,6 +193,70 @@ def run_linking(spark, args, cfg, files, store) -> dict:
     return out
 
 
+def run_fs(spark, args, files) -> dict:
+    """PROBABILISTIC mode: Fellegi-Sunter dedup (the Splink model) on
+    cheap per-file features — sorted-neighborhood blocking on n_chars
+    within lang, agreement gammas (relative-size, token-count and
+    simhash-Hamming proximity), u from random record pairs, EM-fitted
+    (lambda, m, u), posterior-thresholded edges resolved by CC. The
+    classical complement to the MinHash content pipeline: high
+    precision on near-identical clones without shingling the content;
+    heavily-mutated variants stay the LSH pipeline's job."""
+    from pyspark.sql import functions as F
+
+    from blink_spark.eval import pairwise_metrics
+    from blink_spark.functions.simhash import hamming, simhash_udf
+    from blink_spark.operators import fellegi_sunter as fs
+    from blink_spark.operators.pairs import sorted_neighborhood_pairs
+
+    fid = text.stable_file_id("repo", "path", "commit")
+    sh = simhash_udf()
+    records = (
+        files.select(
+            fid.alias("file_id"),
+            "lang",
+            F.length("content").alias("n_chars"),
+            F.size(F.split("content", r"\s+")).alias("n_toks"),
+            sh(F.split("content", r"\s+")).alias("simhash"),
+        )
+    )
+    pairs = sorted_neighborhood_pairs(
+        records, "n_chars", id_col="file_id", window=6, by="lang"
+    )
+    res = fs.fs_cluster(
+        records,
+        pairs,
+        {
+            "size": (
+                F.abs(F.col("n_chars_a") - F.col("n_chars_b"))
+                <= F.greatest(F.col("n_chars_a"), F.col("n_chars_b")) * 0.03
+            ),
+            "toks": F.abs(F.col("n_toks_a") - F.col("n_toks_b")) <= 4,
+            "sim": hamming(F.col("simhash_a"), F.col("simhash_b")) <= 12,
+        },
+        id_col="file_id",
+        em_iters=15,
+        threshold_p=args.fs_threshold,
+    )
+    clusters = res["clusters"]
+    out = {
+        "mode": "fs",
+        "fs_threshold": args.fs_threshold,
+        "n_records": clusters.count(),
+        "n_clusters": clusters.select("cluster_id").distinct().count(),
+        "em": {
+            "lambda": res["fit"]["lambda"],
+            "m": res["fit"]["m"],
+            "u": res["fit"]["u"],
+            "n_pairs": res["fit"]["n_pairs"],
+        },
+    }
+    if args.eval_gold and args.synthetic_entities:
+        gold = files.select(fid.alias("file_id"), "entity_id")
+        out["pairwise"] = pairwise_metrics(clusters, gold)
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     spark = get_spark("blink_spark.cli", cores=args.cores)
@@ -209,6 +281,9 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     store = StageStore(spark, args.output)
+    if args.fs:
+        print(json.dumps(run_fs(spark, args, files), default=str))
+        return 0
     if args.discover_drop is not None:
         print(json.dumps(run_discovery(spark, args, cfg, files, store), default=str))
         return 0
