@@ -87,3 +87,25 @@ def test_md5_hash_honors_seed(docs):
     a = {r["doc_id"]: r["split"] for r in hash_split(docs, FR, seed=1, id_hash="md5").collect()}
     b = {r["doc_id"]: r["split"] for r in hash_split(docs, FR, seed=2, id_hash="md5").collect()}
     assert any(a[k] != b[k] for k in a)
+
+
+def test_hash_split_exhaustive_and_disjoint(docs):
+    """Every row gets exactly one split label (withColumn guarantees one
+    row out per row in; the CASE covers the whole [0,1) hash range)."""
+    out = hash_split(docs, FR)
+    assert out.count() == docs.count()
+    assert out.where(F.col("split").isNull()).count() == 0
+    assert {r["split"] for r in out.select("split").distinct().collect()} <= set(FR)
+
+
+def test_hash_split_single_fraction(docs):
+    out = hash_split(docs, {"all": 1.0})
+    assert out.where(F.col("split") != "all").count() == 0
+
+
+def test_stratified_split_exhaustive(docs):
+    out = stratified_exact_split(docs, FR, strata_col="grp")
+    assert out.count() == docs.count()
+    assert out.where(F.col("split").isNull()).count() == 0
+    # helper columns must not leak
+    assert set(out.columns) == {"doc_id", "grp", "split"}
