@@ -124,17 +124,39 @@ def sorted_neighborhood_pairs(
                 F.col("n.sort_gap").alias("sort_gap"),
             )
         )
-    # global path: exact global rank without a one-task window
-    ranked = (
+    # global path: exact global rank without a one-task window. The
+    # local index comes from an order-preserving mapInPandas over the
+    # range-sorted partitions — a window over spark_partition_id()
+    # would re-exchange the whole corpus a second time just to group
+    # by the partition it is already in.
+    import pandas as pd
+
+    sorted_df = (
         df.select(F.col(key_col).alias("k"), F.col(id_col).alias("sid"))
         .repartitionByRange(F.col("k"), F.col("sid"))
-        .withColumn("pid", F.spark_partition_id())
+        .sortWithinPartitions(F.col("k").asc(), F.col("sid").asc())
+        .select("sid")
     )
-    wl = W.partitionBy("pid").orderBy(F.col("k").asc(), F.col("sid").asc())
-    local = ranked.withColumn("lrn", F.row_number().over(wl))
-    counts = (
-        local.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
-    )
+
+    def _index(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        i = 0
+        for pdf in batches:
+            n = len(pdf)
+            yield pd.DataFrame(
+                {"sid": pdf["sid"], "pid": pid, "lrn": range(i + 1, i + n + 1)}
+            )
+            i += n
+
+    local = sorted_df.mapInPandas(_index, schema="sid long, pid int, lrn long")
+    # two consumers (counts + the offset join) and window-1 rank joins
+    # downstream — materialize the range sort exactly once
+    from blink_spark.io.scratch import spill_scratch
+
+    local, _ = spill_scratch(local, "sn_rank")
+    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
     woff = W.orderBy("pid")  # one row per partition — bounded window
     offsets = counts.select(
         "pid",
@@ -145,12 +167,6 @@ def sorted_neighborhood_pairs(
     rn = local.join(F.broadcast(offsets), "pid").select(
         "sid", (F.col("lrn") + F.col("off")).alias("rn")
     )
-    if window > 2:
-        # the rank table is consumed once per offset join — spill so
-        # the range sort runs once
-        from blink_spark.io.scratch import spill_scratch
-
-        rn, _ = spill_scratch(rn, "sn_rank")
     out = None
     for d in range(1, window):
         succ = rn.select(

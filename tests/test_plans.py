@@ -157,3 +157,33 @@ def test_pq_plain_scan_is_equi_join(emb):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastExchange" in plan, plan  # the codebook, m*ksub rows
+
+
+def test_sorted_neighborhood_global_never_single_partition(spark):
+    """The by=None path must use the range-partition + offset global
+    rank — never a one-task window over the whole corpus."""
+    from blink_spark.operators.pairs import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 23) for i in range(500)], "id long, key long"
+    )
+    plan = _plan(sorted_neighborhood_pairs(df, "key", "id", 3))
+    # the global rank is computed ONCE (range sort + order-preserving
+    # mapInPandas) into a scratch table every downstream join re-reads
+    assert "sn_rank" in plan, plan
+    # downstream of the spill nothing corpus-sized re-shuffles: the
+    # rn=rn+d joins broadcast one side, and every hash exchange left in
+    # the plan keys on pid — the one-row-per-partition counts subtree
+    # (its SinglePartition offsets window is equally bounded)
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash == plan.count("Exchange hashpartitioning(pid"), plan
+
+
+def test_hash_split_is_exchange_free(spark):
+    """Split assignment is a pure map of the row ID — any exchange in
+    this plan means someone broke the 100-TB shape."""
+    from blink_spark.functions.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    plan = _plan(hash_split(df, {"a": 0.5, "b": 0.5}))
+    assert "Exchange" not in plan, plan
