@@ -765,6 +765,41 @@ FROM n WHERE n2 IS NOT NULL
 """
 
 
+def _er_sorted_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALABLE sorted-neighborhood path (by=None): global rank via
+    range-partition + order-preserving mapInPandas + broadcast offsets,
+    pairs via rank equi-joins — exercised by the driver contract so the
+    global-rank machinery itself is value-oracled (the oracle is a
+    plain global lead(), which the distributed rank must equal exactly
+    for ANY range boundaries)."""
+    from blink_spark.operators.pairs import sorted_neighborhood_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = sorted_neighborhood_pairs(
+        d, "n_chars", id_col="doc_id", window=3, by=None
+    )
+    return out.select(
+        "id_a", "id_b", F.col("sort_gap").cast("long").alias("sort_gap")
+    )
+
+
+_ER_SORTED_GLOBAL_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         lead(doc_id, 1) OVER (ORDER BY n_chars, doc_id) AS n1,
+         lead(doc_id, 2) OVER (ORDER BY n_chars, doc_id) AS n2
+  FROM documents
+)
+SELECT least(doc_id, n1) AS id_a, greatest(doc_id, n1) AS id_b,
+       1::BIGINT AS sort_gap
+FROM n WHERE n1 IS NOT NULL
+UNION ALL
+SELECT least(doc_id, n2) AS id_a, greatest(doc_id, n2) AS id_b,
+       2::BIGINT AS sort_gap
+FROM n WHERE n2 IS NOT NULL
+"""
+
+
 def _er_canopy_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canopy blocking (McCallum, Nigam & Ungar 2000) over embeddings
     with the md5 parity pool and s_tight=1.5 (cosine never exceeds 1,
@@ -2381,6 +2416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_pair_scores": _scored_pairs,
         "er_topk_edges": _er_topk_edges,
         "er_sorted_neighborhood": _er_sorted_neighborhood,
+        "er_sorted_global": _er_sorted_global,
         "er_fs_weights": _er_fs_weights,
         "er_canopy_parity": _er_canopy_parity,
         # deterministic splitting / sampling (training-pipeline ops)
@@ -2462,6 +2498,7 @@ def oracle_sql() -> dict[str, str]:
         "er_pair_scores": _SCORED_PAIRS_SQL,
         "er_topk_edges": _ER_TOPK_EDGES_SQL,
         "er_sorted_neighborhood": _ER_SORTED_NEIGHBORHOOD_SQL,
+        "er_sorted_global": _ER_SORTED_GLOBAL_SQL,
         "er_fs_weights": _er_fs_weights_sql(),
         "er_canopy_parity": _ER_CANOPY_PARITY_SQL,
         "samp_hash_split": _samp_hash_split_sql(),

@@ -115,6 +115,7 @@ def main() -> int:
         "samp_stratified_split",
         "samp_group_sample",
         "er_canopy_parity",
+        "er_sorted_global",
     ]
     for name in headline + round3:
         t0 = time.time()
