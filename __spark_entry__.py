@@ -685,7 +685,8 @@ def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_minhash_lsh_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME near-dup flow as dedup_minhash_lsh (shingle -> MinHash
-    -> band -> salted block join -> exact-Jaccard verify) with the
+    -> band -> block join -> exact-Jaccard verify, minus hot-block
+    salting — the oracle enumerates ALL bucket pairs) with the
     md5-parity signature kernel, so DuckDB reproduces the whole
     operator value-for-value — converts the MinHash-LSH dedup family
     from rows-only to hash-green."""
@@ -2384,6 +2385,75 @@ FROM f
 """
 
 
+def _eval_nmi_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 distributed NMI+ARI (eval.nmi_ari_components — the G9 sweep
+    now uses this instead of collecting the sparse contingency): same
+    groups-of-4 vs `source` fixture as eval_bcubed. Entropy sums are
+    1e-6-quantized ln terms summed as exact BIGINTs (order-free;
+    JVM↔DuckDB↔libm agreement pinned by
+    tests/test_eval_nmi.py::test_xlnx_micro_cross_engine), ARI the
+    exact-integer pair components — so NMI and ARI are each ONE IEEE
+    divide of integers both engines reproduce bit-for-bit."""
+    from blink_spark.eval import nmi_ari_components
+
+    labels = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .withColumn("r", F.row_number().over(W.orderBy("doc_id")) - 1)
+        .select(
+            (F.col("r") / 4).cast("long").alias("cluster_id"),
+            F.col("source").alias("entity_id"),
+        )
+    )
+    return nmi_ari_components(labels)
+
+
+_EVAL_NMI_SQL = """
+WITH d AS (
+  SELECT source, CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 4.0)
+         AS BIGINT) AS pred
+  FROM documents
+), cells AS (
+  SELECT pred, source, count(*)::BIGINT AS nij FROM d GROUP BY 1, 2
+), tot AS (
+  SELECT sum(nij)::BIGINT AS n,
+         sum(nij*(nij-1))::BIGINT AS idx2,
+         sum(CAST(floor(nij * ln(nij) * 1000000.0 + 0.5) AS BIGINT))::BIGINT
+           AS s_cells_u
+  FROM cells
+), am AS (
+  SELECT sum(ai*(ai-1))::BIGINT AS sa2,
+         sum(CAST(floor(ai * ln(ai) * 1000000.0 + 0.5) AS BIGINT))::BIGINT
+           AS s_a_u
+  FROM (SELECT sum(nij)::BIGINT AS ai FROM cells GROUP BY pred)
+), bm AS (
+  SELECT sum(bj*(bj-1))::BIGINT AS sb2,
+         sum(CAST(floor(bj * ln(bj) * 1000000.0 + 0.5) AS BIGINT))::BIGINT
+           AS s_b_u
+  FROM (SELECT sum(nij)::BIGINT AS bj FROM cells GROUP BY source)
+), k AS (
+  SELECT n, idx2, sa2, sb2, s_cells_u, s_a_u, s_b_u,
+         CASE WHEN n > 0
+              THEN CAST(floor(n * ln(n) * 1000000.0 + 0.5) AS BIGINT)
+              ELSE 0 END AS n_ln_n_u
+  FROM tot, am, bm
+)
+SELECT n, idx2, sa2, sb2, s_cells_u, s_a_u, s_b_u, n_ln_n_u,
+       CASE WHEN 2*n_ln_n_u - s_a_u - s_b_u > 0
+            THEN least(1.0::DOUBLE, greatest(0.0::DOUBLE,
+              floor((CAST(2*(s_cells_u + n_ln_n_u - s_a_u - s_b_u) AS DOUBLE)
+                     / CAST(2*n_ln_n_u - s_a_u - s_b_u AS DOUBLE))
+                    * 1000000.0 + 0.5) / 1000000.0))
+            ELSE 1.0::DOUBLE END AS nmi,
+       CASE WHEN (sa2+sb2)*n*(n-1) - 2*sa2*sb2 != 0
+            THEN floor((CAST(2*(idx2*n*(n-1) - sa2*sb2) AS DOUBLE)
+                        / CAST((sa2+sb2)*n*(n-1) - 2*sa2*sb2 AS DOUBLE))
+                       * 1000000.0 + 0.5) / 1000000.0
+            ELSE 1.0::DOUBLE END AS ari
+FROM k
+"""
+
+
 def _rel_kmeans2_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 threshold selection, KMeans-style
     (crossencoder/eval_cluster_linking.py:211-215, 233-235): exact 1-D
@@ -2406,7 +2476,26 @@ def _rel_kmeans2_sql() -> str:
 # ================================================================ contract
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT (round-3 VERDICT item 1): the driver verifies
+    # the FIRST 50 entries only, so the dict is ordered by verification
+    # need — (1) queries that have never received a driver CORRECTNESS
+    # row, (2) new this round, (3) changed this round, (4) long-stable
+    # hash-green queries (rotated to the tail; each was green in the
+    # round noted in CORRECTNESS_r0{1,2,3}.json).
     return {
+        # --- (1) never driver-verified before round 4 ---
+        "eval_dendrogram_chain": _eval_dendrogram_chain,
+        "eval_bcubed": _eval_bcubed,
+        "mm_byte_features_parity": _mm_features_parity,
+        "eval_dendrogram_purity": _eval_dendrogram_purity,
+        "mm_byte_features": _mm_features,
+        # --- (2) new in round 4 ---
+        "eval_nmi_components": _eval_nmi_components,
+        # --- (3) changed / touched in round 4 ---
+        "dedup_minhash_lsh_parity": _dedup_minhash_lsh_parity,
+        "er_canopy_parity": _er_canopy_parity,
+        "er_fs_weights": _er_fs_weights,
+        "discover_reattach": _discover_reattach,
         # ER pipeline (SURVEY §2.2-2.9)
         "er_normalize": _er_normalize,
         "er_exact_dup_groups": _er_exact_dup_groups,
@@ -2417,8 +2506,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_topk_edges": _er_topk_edges,
         "er_sorted_neighborhood": _er_sorted_neighborhood,
         "er_sorted_global": _er_sorted_global,
-        "er_fs_weights": _er_fs_weights,
-        "er_canopy_parity": _er_canopy_parity,
         # deterministic splitting / sampling (training-pipeline ops)
         "samp_hash_split": _samp_hash_split,
         "samp_stratified_split": _samp_stratified_split,
@@ -2428,7 +2515,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_best_entity": _link_best_entity,
         "link_clusters": _link_clusters,
         "link_partition_chain": _link_partition_chain,
-        "discover_reattach": _discover_reattach,
         # graph ops (G3) + threshold selection (A7)
         "graph_mst_forest": _graph_mst_forest,
         "rel_kmeans2_threshold": _rel_kmeans2_threshold,
@@ -2442,7 +2528,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": _dedup_embedding_lsh,
         "dedup_embedding_lsh_parity": _dedup_embedding_lsh_parity,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
-        "dedup_minhash_lsh_parity": _dedup_minhash_lsh_parity,
         "dedup_keep_representatives": _dedup_keep_reps,
         "dedup_decontaminate": _dedup_decontaminate,
         # similarity search
@@ -2465,8 +2550,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal
         "mm_asset_metadata": _mm_metadata,
         "mm_frame_sample": _mm_frames,
-        "mm_byte_features": _mm_features,
-        "mm_byte_features_parity": _mm_features_parity,
         "mm_decode": _mm_decode,
         # relational operator suite (SURVEY §2.2, 2.5-2.8, 2.10)
         "rel_scan_filter_project": _rel_scan_filter_project,
@@ -2482,9 +2565,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # clustering-quality eval (A5, exact-integer ARI components;
         # G8 dendrogram purity)
         "eval_ari_components": _eval_ari_components,
-        "eval_dendrogram_purity": _eval_dendrogram_purity,
-        "eval_dendrogram_chain": _eval_dendrogram_chain,
-        "eval_bcubed": _eval_bcubed,
     }
 
 
@@ -2560,4 +2640,5 @@ def oracle_sql() -> dict[str, str]:
         "eval_ari_components": _EVAL_ARI_SQL,
         "eval_dendrogram_chain": _EVAL_DENDROGRAM_CHAIN_SQL,
         "eval_bcubed": _EVAL_BCUBED_SQL,
+        "eval_nmi_components": _EVAL_NMI_SQL,
     }

@@ -130,10 +130,15 @@ def run_discovery(spark, args, cfg, files, store) -> dict:
     dropped = None
     if not drop_all:
         # deterministic proportional drop: hash-bucket the catalogue ids
+        # on a 2^20 grid so sub-percent fractions work (a 100-bucket
+        # grid silently floored 0.125 to 12% and <0.01 to nothing)
         fid = text.stable_file_id("repo", "path", "commit")
         dropped = (
             catalogue.select(fid.alias("entity_id"))
-            .where(F.pmod(F.xxhash64("entity_id", F.lit(7)), 100) < int(frac * 100))
+            .where(
+                F.pmod(F.xxhash64("entity_id", F.lit(7)), 2**20)
+                < int(frac * 2**20)
+            )
         )
     res = entity_discovery(
         mentions, catalogue, gold,

@@ -29,7 +29,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from blink_spark.eval import nmi_ari
+from blink_spark.eval import nmi_ari_distributed
 from blink_spark.io.scratch import spill_scratch
 from blink_spark.io.tables import StageStore
 from blink_spark.linking import LinkPipeline
@@ -116,7 +116,10 @@ def entity_discovery(
             kept = mm.where(F.col("score") >= F.lit(float(t)))
             cc = connected_components(kept.select("id_a", "id_b"))
             clusters = assign_clusters(men_ids, cc, id_col="file_id")
-            m = nmi_ari(clusters, gold)
+            # distributed NMI/ARI: singleton-heavy rungs (exactly what
+            # high thresholds produce) make the sparse contingency
+            # O(corpus rows) — never collect it per rung
+            m = nmi_ari_distributed(clusters, gold)
             rows.append(
                 {
                     "threshold": float(t),
@@ -138,7 +141,7 @@ def entity_discovery(
             g = graph.where(F.col("score") >= F.lit(float(t)))
             part = entity_constrained_partition(g, undirected=undirected)
             clusters = _clusters_from_partition(part, men_ids)
-            m = nmi_ari(clusters, gold)
+            m = nmi_ari_distributed(clusters, gold)
             rows.append(
                 {
                     "threshold": float(t),

@@ -301,6 +301,122 @@ def bcubed(
     )
 
 
+def _xlnx_micro(col):
+    """floor(x·ln(x)·1e6 + 0.5) as BIGINT — the quantized entropy term.
+
+    ln itself is the one primitive libm implementations may disagree on
+    (by ≤1 ulp), so each x·ln(x) is snapped to a 1e-6 grid PER TERM and
+    summed as exact integers: the sum is then order-free (bit-identical
+    at any parallelism) and reproducible by a SQL engine as long as the
+    per-integer quantization agrees — pinned for the relevant argument
+    range by tests/test_linking.py::test_xlnx_micro_cross_engine.
+    Quantization error ≤ 0.5e-6 per term, so NMI is exact to ~1e-6·
+    cells/(n·H) — negligible for metric sweeps."""
+    x = col.cast("double")
+    return F.floor(x * F.log(x) * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+
+def nmi_ari_components(
+    labels: DataFrame, a_col: str = "cluster_id", b_col: str = "entity_id"
+) -> DataFrame:
+    """A5 scale path for NMI **and** ARI in one pass — fully
+    distributed, ONE row out, no driver-side contingency collect
+    (contrast `nmi_ari`, whose O(cells)≈O(n) collect per call made the
+    G9 threshold sweep a driver bottleneck at singleton-heavy rungs).
+
+    Shape mirrors `bcubed`/`ari_components`: one groupBy builds the
+    sparse contingency (spilled once — three consumers), the marginal
+    aggregates fold it, and every sum is exact-integer:
+
+      * ARI: the doubled pair counts idx2/sa2/sb2 (see ari_components);
+      * NMI: entropy sums in 1e-6-quantized micro-units via `_xlnx_micro`
+        using MI·n = Σ nij·ln nij + n·ln n − Σ ai·ln ai − Σ bj·ln bj and
+        H_a·n = n·ln n − Σ ai·ln ai, so
+        NMI = 2·MI/(H_a+H_b) = 2·mi_u / (2·n_ln_n_u − s_a_u − s_b_u)
+        — one IEEE divide of exact BIGINTs, bit-identical everywhere.
+
+    Reference computes both via sklearn on driver-resident label arrays
+    (eval_entity_discovery.py:96-139); conventions matched: both-trivial
+    partitions → NMI=1 (denominator 0), ari_den=0 → ARI=1."""
+    from blink_spark.functions.rounding import qround
+    from blink_spark.io.scratch import spill_scratch
+
+    cells = labels.groupBy(a_col, b_col).agg(F.count(F.lit(1)).alias("nij"))
+    cells, _ = spill_scratch(cells, "nmi_ari_cells")
+    comb2 = lambda c: F.coalesce(
+        F.sum(F.col(c) * (F.col(c) - F.lit(1))), F.lit(0)
+    ).cast("long")
+    micro_sum = lambda c: F.coalesce(F.sum(_xlnx_micro(F.col(c))), F.lit(0)).cast(
+        "long"
+    )
+    tot = cells.agg(
+        F.coalesce(F.sum("nij"), F.lit(0)).cast("long").alias("n"),
+        comb2("nij").alias("idx2"),
+        micro_sum("nij").alias("s_cells_u"),
+    )
+    am = (
+        cells.groupBy(a_col).agg(F.sum("nij").alias("ai"))
+        .agg(comb2("ai").alias("sa2"), micro_sum("ai").alias("s_a_u"))
+    )
+    bm = (
+        cells.groupBy(b_col).agg(F.sum("nij").alias("bj"))
+        .agg(comb2("bj").alias("sb2"), micro_sum("bj").alias("s_b_u"))
+    )
+    one = tot.crossJoin(am).crossJoin(bm).withColumn(
+        "n_ln_n_u",
+        F.when(F.col("n") > 0, _xlnx_micro(F.col("n"))).otherwise(F.lit(0)).cast(
+            "long"
+        ),
+    )
+    mi_u = F.col("s_cells_u") + F.col("n_ln_n_u") - F.col("s_a_u") - F.col("s_b_u")
+    den_u = F.lit(2) * F.col("n_ln_n_u") - F.col("s_a_u") - F.col("s_b_u")
+    nmi = F.when(
+        den_u > 0,
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(0.0),
+                qround(
+                    (F.lit(2) * mi_u).cast("double") / den_u.cast("double")
+                ),
+            ),
+        ),
+    ).otherwise(F.lit(1.0))
+    n2 = F.col("n") * (F.col("n") - F.lit(1))
+    ari_num = F.lit(2) * (F.col("idx2") * n2 - F.col("sa2") * F.col("sb2"))
+    ari_den = (
+        (F.col("sa2") + F.col("sb2")) * n2
+        - F.lit(2) * F.col("sa2") * F.col("sb2")
+    )
+    ari = F.when(
+        ari_den != 0, qround(ari_num.cast("double") / ari_den.cast("double"))
+    ).otherwise(F.lit(1.0))
+    return one.select(
+        "n",
+        "idx2",
+        "sa2",
+        "sb2",
+        "s_cells_u",
+        "s_a_u",
+        "s_b_u",
+        "n_ln_n_u",
+        nmi.alias("nmi"),
+        ari.alias("ari"),
+    )
+
+
+def nmi_ari_distributed(
+    clusters: DataFrame, gold: DataFrame, id_col: str = "file_id"
+) -> dict:
+    """`nmi_ari` with the contingency kept IN Spark: joins gold, runs
+    `nmi_ari_components`, collects one row. The G9 sweep path
+    (discovery.entity_discovery) uses this; the driver-side `nmi_ari`
+    stays for small eval sets and as the pytest cross-check."""
+    j = clusters.join(gold.select(F.col(id_col), "entity_id"), id_col)
+    row = nmi_ari_components(j.select("cluster_id", "entity_id")).collect()[0]
+    return {"nmi": float(row["nmi"]), "ari": float(row["ari"]), "n": int(row["n"])}
+
+
 def ari_components(
     labels: DataFrame, a_col: str = "cluster_id", b_col: str = "entity_id"
 ) -> DataFrame:

@@ -149,42 +149,86 @@ def canopy_blocks(
     Returns (block_key, <id_col>) rows — one per (point, canopy) —
     feeding pairs.candidate_pairs like any other blocking.
     """
-    import numpy as np
-
-    from blink_spark.functions.similarity import array_cosine
-
     if not s_tight > s_loose:
         raise ValueError("s_tight must exceed s_loose (tight ⊂ loose)")
-    if id_hash == "md5":
-        from blink_spark.functions.parityhash import md5_prefix_hash64
-
-        h = md5_prefix_hash64(id_col)
-    else:
-        h = F.xxhash64(F.col(id_col), F.lit(seed))
+    if n_candidates > _CANOPY_POOL_CAP:
+        raise ValueError(
+            f"canopy_blocks: n_candidates={n_candidates} exceeds the "
+            f"driver-greedy pool cap {_CANOPY_POOL_CAP}; use "
+            "canopy_blocks_distributed for pools that outgrow the driver"
+        )
     pool = (
-        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), h.alias("h"))
+        df.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            _canopy_hash(id_col, seed, id_hash).alias("h"),
+        )
         .orderBy("h", "cid")
         .limit(n_candidates)
         .collect()
     )
-    centers: list = []
-    for r in pool:  # bounded greedy, hash order — deterministic
-        v = np.asarray(r["cvec"], dtype=np.float64)
+    centers = _suppress_greedy(
+        [(r["cid"], r["cvec"]) for r in pool], [], s_tight
+    )
+    return _canopy_membership(df, centers, s_loose, id_col, vec_col)
+
+
+_CANOPY_POOL_CAP = 100_000  # rows a single driver collect may hold
+
+
+def _canopy_hash(id_col: str, seed: int, id_hash: str):
+    if id_hash == "md5":
+        from blink_spark.functions.parityhash import md5_prefix_hash64
+
+        return md5_prefix_hash64(id_col)
+    return F.xxhash64(F.col(id_col), F.lit(seed))
+
+
+def _suppress_greedy(
+    pool: list, accepted: list, s_tight: float
+) -> list:
+    """Sequential McCallum suppression over `pool` (id, vec) rows in
+    order, seeded with already-`accepted` (id, vec, norm) centers: a
+    candidate survives iff no earlier-accepted center exceeds s_tight.
+    Returns the extended accepted list."""
+    import numpy as np
+
+    out = list(accepted)
+    for cid, cvec in pool:
+        v = np.asarray(cvec, dtype=np.float64)
         nv = np.linalg.norm(v)
         suppressed = False
-        for _, cv, cnv in centers:
+        for _, cv, cnv in out:
             denom = nv * cnv
             sim = float(v @ cv / denom) if denom > 0 else 0.0
             if sim > s_tight:
                 suppressed = True
                 break
         if not suppressed:
-            centers.append((r["cid"], v, nv))
+            out.append((cid, v, nv))
+    return out
+
+
+def _canopy_membership(
+    df: DataFrame, centers: list, s_loose: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Broadcast the accepted centers (typed by the ACTUAL id column —
+    string ids work) and emit (block_key, id) membership + singleton
+    fallback rows."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    from blink_spark.functions.similarity import array_cosine
+
     spark = df.sparkSession
+    schema = StructType(
+        [
+            StructField("canopy_id", df.schema[id_col].dataType),
+            StructField("cvec", ArrayType(DoubleType())),
+        ]
+    )
     cdf = F.broadcast(
         spark.createDataFrame(
-            [(int(cid), [float(x) for x in cv]) for cid, cv, _ in centers],
-            f"canopy_id long, cvec array<double>",
+            [(cid, [float(x) for x in cv]) for cid, cv, _ in centers], schema
         )
     )
     member = (
@@ -206,3 +250,87 @@ def canopy_blocks(
         )
     )
     return member.unionByName(singletons)
+
+
+def canopy_blocks_distributed(
+    df: DataFrame,
+    s_loose: float,
+    s_tight: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_candidates: int = 64,
+    seed: int = 42,
+    id_hash: str = "xxhash",
+    batch_size: int = 1024,
+) -> DataFrame:
+    """`canopy_blocks` for center pools that outgrow a single driver
+    collect: the same deterministic hash-ordered greedy suppression,
+    consumed in bounded batches with broadcast tight-radius anti-join
+    rounds between them.
+
+    Per round: collect the next `batch_size` candidates in (hash, id)
+    order (bounded driver memory), run the sequential suppression
+    seeded with every center accepted so far, then prune the remaining
+    candidate pool IN SPARK — drop rows within s_tight of any center
+    accepted this round (they would be suppressed later anyway, so the
+    prune is semantics-preserving) — and spill the survivors to scratch
+    parquet (durable checkpoint: the iterative-path discipline). The
+    result is EXACTLY the sequential greedy over the full pool, so on
+    small pools this equals `canopy_blocks` (pytest-gated; the only
+    divergence risk is a candidate whose cosine sits within 1 ulp of
+    s_tight across the numpy / JVM kernels).
+
+    Accepted centers must still fit a broadcast — inherent to canopy
+    membership itself, not to the suppression."""
+    import os
+
+    from blink_spark.functions.similarity import array_cosine
+    from blink_spark.io.scratch import release, scratch_dir, spill
+
+    if not s_tight > s_loose:
+        raise ValueError("s_tight must exceed s_loose (tight ⊂ loose)")
+    pool = (
+        df.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            _canopy_hash(id_col, seed, id_hash).alias("h"),
+        )
+        .orderBy("h", "cid")
+        .limit(n_candidates)
+    )
+    d = scratch_dir()
+    remaining = spill(pool, os.path.join(d, "round_0"))
+    spark = df.sparkSession
+    accepted: list = []
+    rnd = 0
+    while True:
+        batch = remaining.orderBy("h", "cid").limit(batch_size).collect()
+        n_before = len(accepted)
+        accepted = _suppress_greedy(
+            [(r["cid"], r["cvec"]) for r in batch], accepted, s_tight
+        )
+        if len(batch) < batch_size:
+            break
+        last = batch[-1]
+        rnd += 1
+        nxt = remaining.where(
+            (F.col("h") > F.lit(last["h"]))
+            | ((F.col("h") == F.lit(last["h"])) & (F.col("cid") > F.lit(last["cid"])))
+        )
+        new_vecs = [[float(x) for x in cv] for _, cv, _ in accepted[n_before:]]
+        if new_vecs:
+            nc = F.broadcast(
+                spark.createDataFrame(
+                    [(v,) for v in new_vecs], "ncvec array<double>"
+                )
+            )
+            supp = (
+                nxt.crossJoin(nc)
+                .where(array_cosine(F.col("cvec"), F.col("ncvec")) > F.lit(s_tight))
+                .select("cid")
+                .distinct()
+            )
+            nxt = nxt.join(supp, "cid", "left_anti")
+        remaining = spill(nxt, os.path.join(d, f"round_{rnd}"))
+    release(d)
+    return _canopy_membership(df, accepted, s_loose, id_col, vec_col)

@@ -125,17 +125,23 @@ def minhash_lsh_dup_pairs_parity(
     bands: int = 4,
     rows_per_band: int = 4,
     jaccard_threshold: float = 0.5,
-    pair_budget: int = 5_000_000,
 ) -> DataFrame:
     """SQL-parity twin of :func:`minhash_lsh_dup_pairs`: the SAME
     pipeline shape (fused signatures -> band keys -> one spill ->
-    salted blocking -> pair join -> exact-Jaccard verify) with the
+    blocking -> pair join -> exact-Jaccard verify) with the
     md5-over-prime-field MinHash (functions.minhash parity helpers)
     instead of the xxhash64 Arrow kernel, so a DuckDB oracle can
     reproduce the FULL near-dup flow value-for-value — the engine-hash
     production kernel stays rows-only, the algorithm itself is now
     value-checked end-to-end. Slower per doc (the md5 portability tax
-    noted on er_lsh_band_pairs); use the xxhash variant in production."""
+    noted on er_lsh_band_pairs); use the xxhash variant in production.
+
+    Unlike the production path this twin does NOT salt hot blocks: the
+    SQL oracle enumerates ALL bucket pairs, so a salted (pair-dropping)
+    Spark side would silently depend on no block crossing the salt
+    threshold and false-mismatch on a skewed fixture. Salting is
+    value-checked on its own (tests/test_blocking.py) and exercised by
+    the production flow's pipeline tests."""
     from blink_spark.functions.minhash import (
         parity_band_key_expr,
         parity_minhash_expr,
@@ -165,8 +171,7 @@ def minhash_lsh_dup_pairs_parity(
             "file_id",
         )
         keyed = kb if keyed is None else keyed.unionByName(kb)
-    blocks = blocking.salt_hot_blocks(keyed, "file_id", pair_budget)
-    pairs = candidate_pairs(blocks, "file_id")
+    pairs = candidate_pairs(keyed, "file_id")
     fa = base.select(F.col("file_id").alias("id_a"), F.col("shd").alias("sh_a"))
     fb = base.select(F.col("file_id").alias("id_b"), F.col("shd").alias("sh_b"))
     jac = qround(token_set_jaccard(F.col("sh_a"), F.col("sh_b")), 6)

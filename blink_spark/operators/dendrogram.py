@@ -139,13 +139,20 @@ def dendrogram_purity(
     weight_col: str = "score",
     label_cols: tuple[str, str] = ("file_id", "entity_id"),
     max_leaves: int = 20_000,
+    max_edges: int = 5_000_000,
 ) -> dict:
     """Driver-side G8 over a sampled eval set: collect the similarity
     graph (distances = negated similarities, dendrogram_purity.py:303),
     run the graph-HAC, score purity against gold labels. Caps the
     collect at max_leaves leaves (deterministic smallest-hash sample of
     label rows, same discipline as ivf_cells) — this is ANALYSIS, not a
-    pipeline stage; use nmi_ari / pairwise_metrics for scalable gates."""
+    pipeline stage; use nmi_ari / pairwise_metrics for scalable gates.
+
+    The edge collect is bounded IN SPARK: edges are semi-joined against
+    the sampled leaf set on both endpoints before `.collect()` (a
+    production n·k kNN graph must never reach the driver whole), and a
+    loud error fires if the surviving edge count still exceeds
+    max_edges — silently dropping edges would change the dendrogram."""
     lab = labels.select(
         F.col(label_cols[0]).alias("leaf"), F.col(label_cols[1]).alias("cls")
     )
@@ -158,16 +165,34 @@ def dendrogram_purity(
             .limit(max_leaves)
             .drop("h")
         )
+    from blink_spark.io.scratch import spill_scratch
+
+    if sampled:
+        # multi-consumer (collect + two semi-joins) over a sampled
+        # frame: spill once so the sample is computed exactly once
+        lab, _ = spill_scratch(lab, "dendrogram_leaves")
     lab_rows = lab.collect()
-    keep = {r["leaf"] for r in lab_rows}
-    e_rows = edges.select(
+    keep_df = lab.select("leaf")
+    e = edges.select(
         F.col(id_cols[0]).alias("a"),
         F.col(id_cols[1]).alias("b"),
         (-F.col(weight_col)).cast("double").alias("d"),
-    ).collect()
-    el = [
-        (r["a"], r["b"], r["d"]) for r in e_rows if r["a"] in keep and r["b"] in keep
-    ]
+    )
+    e = (
+        e.join(keep_df.withColumnRenamed("leaf", "a"), "a", "left_semi")
+        .join(keep_df.withColumnRenamed("leaf", "b"), "b", "left_semi")
+    )
+    e, _ = spill_scratch(e, "dendrogram_edges")
+    n_edges = e.count()
+    if n_edges > max_edges:
+        raise ValueError(
+            f"dendrogram_purity: {n_edges} edges among the {len(lab_rows)} "
+            f"sampled leaves exceeds max_edges={max_edges}; lower max_leaves "
+            "(or raise max_edges) — truncating edges would silently change "
+            "the dendrogram"
+        )
+    e_rows = e.collect()
+    el = [(r["a"], r["b"], r["d"]) for r in e_rows]
     lab_map = {r["leaf"]: r["cls"] for r in lab_rows}
     purity = dendrogram_purity_py(el, lab_map, linkage=linkage)
     # Every same-class pair receives an LCA at exactly one merge (the

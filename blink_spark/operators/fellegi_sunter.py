@@ -191,6 +191,12 @@ def estimate_u_probs(
         *[F.avg(F.col(f"g_{f}")).alias(f) for f in comparisons],
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
+    if int(row["n"]) == 0:
+        raise ValueError(
+            "estimate_u_probs: the corpus yields zero random pairs "
+            "(fewer than 2 records after sampling) — u cannot be "
+            "estimated; pass explicit init_u to em_fit instead"
+        )
     return {
         "u": {f: _clamp(float(row[f])) for f in comparisons},
         "n_pairs": int(row["n"]),

@@ -170,3 +170,52 @@ def test_canopy_bad_thresholds(spark):
     df = _clustered_emb(spark, n=10)
     with pytest.raises(ValueError):
         canopy_blocks(df, s_loose=0.9, s_tight=0.5)
+
+
+def test_canopy_string_ids(spark):
+    """id_col is generic: string ids must flow through the broadcast
+    center table and the singleton fallback (round-3 ADVICE: int(cid) +
+    a hardcoded 'long' schema crashed on string ids)."""
+    from blink_spark.operators.blocking import canopy_blocks
+
+    base = _clustered_emb(spark, n=40)
+    df = base.select(
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    blocks = canopy_blocks(df, s_loose=0.5, s_tight=0.9, n_candidates=16)
+    covered = {r["vec_id"] for r in blocks.select("vec_id").distinct().collect()}
+    assert covered == {f"doc-{i}" for i in range(40)}
+
+
+def test_canopy_pool_cap_guard(spark):
+    from blink_spark.operators.blocking import _CANOPY_POOL_CAP, canopy_blocks
+
+    df = _clustered_emb(spark, n=10)
+    with pytest.raises(ValueError, match="canopy_blocks_distributed"):
+        canopy_blocks(df, 0.5, 0.9, n_candidates=_CANOPY_POOL_CAP + 1)
+
+
+def test_canopy_distributed_equals_driver(spark):
+    """The batched broadcast-anti-join suppression is EXACTLY the
+    sequential driver greedy on the same pool — same blocks, any batch
+    size (batch smaller than, equal to, and larger than the pool)."""
+    from blink_spark.operators.blocking import (
+        canopy_blocks,
+        canopy_blocks_distributed,
+    )
+
+    df = _clustered_emb(spark)
+    want = sorted(
+        map(tuple, canopy_blocks(df, 0.5, 0.9, n_candidates=32).collect())
+    )
+    for bs in (7, 32, 100):
+        got = sorted(
+            map(
+                tuple,
+                canopy_blocks_distributed(
+                    df, 0.5, 0.9, n_candidates=32, batch_size=bs
+                ).collect(),
+            )
+        )
+        assert got == want, f"batch_size={bs}"

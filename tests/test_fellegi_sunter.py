@@ -103,6 +103,16 @@ def test_estimate_u_from_random_pairs(spark):
     assert est["u"]["dec"] == pytest.approx(1 / 10, abs=0.04)
 
 
+def test_estimate_u_too_few_records_raises(spark):
+    """<2 records -> zero random pairs: a descriptive error, not a
+    float(None) TypeError (round-3 ADVICE item 4)."""
+    df = spark.createDataFrame([(1, "x")], "doc_id long, src string")
+    with pytest.raises(ValueError, match="zero random pairs"):
+        fs.estimate_u_probs(
+            df, {"src": F.col("src_a") == F.col("src_b")}, sample=10
+        )
+
+
 def test_estimate_u_deterministic_across_partitioning(spark):
     rows = [(i, f"s{i % 4}") for i in range(400)]
     df = spark.createDataFrame(rows, "doc_id long, src string")
