@@ -493,6 +493,81 @@ def _link_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _link_clusters_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed END-TO-END value oracle for the full LinkPipeline —
+    the `link_partition_chain` analytic-fixture trick one level up
+    (round-3 VERDICT item 7): fused signatures → LSH blocking → pair
+    scoring → entity flagging → best-entity window → mention-knn edges
+    → G4 partition → assignment, one hash-green row for the whole
+    composition.
+
+    Fixture: docs in doc_id order, groups of four (partial tail group
+    dropped); all four share ONE group-unique 8-token text; pos 3 is
+    the catalogue entity, pos 0-2 are mentions. Identical content
+    means identical MinHash signatures, so in-group pairs co-block
+    under ANY engine hash/seed/banding with content similarity exactly
+    1 (score >= 0.8 with the 0.2/0.4/0.4 weights, whatever the path
+    JW); cross-group texts share zero shingles, so any extra pair the
+    LSH happens to add scores <= 0.2. The best-entity window therefore
+    picks the group entity, the top-2 mention edges stay in-group, the
+    G4 component contains exactly one entity (so every valid partition
+    assigns all its mentions to it) — the final answer is invariant to
+    every engine-hash choice, and the oracle states it in closed form.
+    `link_clusters` (rows-only) drives the same code over real text."""
+    from blink_spark.linking import LinkPipeline
+
+    g = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("r", F.row_number().over(W.orderBy("doc_id")) - 1)
+        .withColumn("grp", (F.col("r") / 4).cast("long"))
+        .withColumn("pos", F.col("r") % 4)
+        .withColumn("gsz", F.count(F.lit(1)).over(W.partitionBy("grp")))
+        .where(F.col("gsz") == 4)
+    )
+    tok = F.concat(F.lit("egrp"), F.col("grp").cast("string"))
+    files = g.select(
+        F.lit("x").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("xx").alias("lang"),
+        F.concat_ws(" ", *([tok] * 8)).alias("content"),
+        "doc_id",
+        "pos",
+    )
+    men = files.where(F.col("pos") < 3)
+    cat = files.where(F.col("pos") == 3)
+    fid = btext.stable_file_id("repo", "path", "commit")
+    men_map = men.select(fid.alias("file_id"), "doc_id")
+    cat_map = cat.select(
+        fid.alias("pred_entity_id"), F.col("doc_id").alias("pred_entity_doc")
+    )
+    cfg = ERConfig(bands=16, rows_per_band=4, num_hashes=64, shingle_k=3)
+    res = LinkPipeline(cfg, mention_knn=2).run(
+        men.drop("doc_id", "pos"), cat.drop("doc_id", "pos")
+    )
+    return (
+        res.tables["pred"]
+        .join(men_map, "file_id")
+        .join(F.broadcast(cat_map), "pred_entity_id")
+        .select("doc_id", "pred_entity_doc")
+    )
+
+
+_LINK_CLUSTERS_CHAIN_SQL = """
+WITH d AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r FROM documents
+), g AS (
+  SELECT doc_id, CAST(floor(r / 4.0) AS BIGINT) AS grp, r % 4 AS pos,
+         count(*) OVER (PARTITION BY CAST(floor(r / 4.0) AS BIGINT)) AS gsz
+  FROM d
+)
+SELECT m.doc_id AS doc_id, e.doc_id AS pred_entity_doc
+FROM g m JOIN g e ON m.grp = e.grp AND e.pos = 3
+WHERE m.gsz = 4 AND e.gsz = 4 AND m.pos < 3
+"""
+
+
 # ============================================================== dedup suite
 
 def _dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1403,6 +1478,120 @@ def _ann_nnd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact and bit-determinism across partitionings."""
     emb = _t(spark, sf_dir, "embeddings")
     return ann.nn_descent_topk(emb, k=5, iterations=3)
+
+
+def _ann_nnd_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value oracle for the NN-descent ROUND kernel (ann.nnd_round —
+    the literal code nn_descent_topk loops): one round over a
+    deterministic chain-adjacency init graph (each vec's neighbors =
+    the next two vec_ids, exact qround cosine), degree cap ordered by
+    the engine-portable md5 pair hash. Every step — symmetrize, cap,
+    neighbor-of-neighbor join, anti-join, cosine scoring, merge-top-k —
+    is restated by the DuckDB twin, closing the last rows-only ANN
+    family (round-3 VERDICT item 5). Production keeps xxhash64 order +
+    LSH init; the kernel under test is identical."""
+    from blink_spark.functions.parityhash import md5_pair_hash64
+    from blink_spark.functions.similarity import array_cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("vec"))
+    w = W.orderBy("vec_id")
+    leads = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.lead("vec_id", 1).over(w).alias("n1"),
+        F.lead("vec_id", 2).over(w).alias("n2"),
+    )
+    e0 = (
+        leads.where(F.col("n1").isNotNull())
+        .select("query_id", F.col("n1").alias("neighbor_id"))
+        .unionByName(
+            leads.where(F.col("n2").isNotNull())
+            .select("query_id", F.col("n2").alias("neighbor_id"))
+        )
+    )
+    scored0 = (
+        e0.join(base.select(F.col("nid").alias("query_id"),
+                            F.col("vec").alias("q_vec")), "query_id")
+        .join(base.select(F.col("nid").alias("neighbor_id"),
+                          F.col("vec").alias("c_vec")), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            qround(array_cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+    )
+    return ann.nnd_round(
+        scored0, base, k=3, sample_k=3,
+        cap_hash=md5_pair_hash64("query_id", "neighbor_id"),
+    )
+
+
+def _nnd_cos_sql(a: str, b: str) -> str:
+    la, lb = f"{a}.embedding::DOUBLE[]", f"{b}.embedding::DOUBLE[]"
+    return (
+        f"(floor((CASE WHEN sqrt(list_dot_product({la}, {la})) = 0 "
+        f"OR sqrt(list_dot_product({lb}, {lb})) = 0 THEN 0.0 "
+        f"ELSE list_dot_product({la}, {lb}) / "
+        f"(sqrt(list_dot_product({la}, {la})) * "
+        f"sqrt(list_dot_product({lb}, {lb}))) END) * 1000000.0 + 0.5) "
+        f"/ 1000000.0)"
+    )
+
+
+_ANN_NND_PARITY_SQL = f"""
+WITH leads AS (
+  SELECT vec_id AS query_id,
+         lead(vec_id, 1) OVER (ORDER BY vec_id) AS n1,
+         lead(vec_id, 2) OVER (ORDER BY vec_id) AS n2
+  FROM embeddings
+), e0 AS (
+  SELECT query_id, n1 AS neighbor_id FROM leads WHERE n1 IS NOT NULL
+  UNION ALL
+  SELECT query_id, n2 AS neighbor_id FROM leads WHERE n2 IS NOT NULL
+), e0s AS (
+  SELECT e0.query_id, e0.neighbor_id, {_nnd_cos_sql('a', 'b')} AS cosine
+  FROM e0 JOIN embeddings a ON e0.query_id = a.vec_id
+          JOIN embeddings b ON e0.neighbor_id = b.vec_id
+), sym AS (
+  SELECT DISTINCT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id FROM e0
+    UNION ALL
+    SELECT neighbor_id AS query_id, query_id AS neighbor_id FROM e0
+  )
+), capped AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY ('0x' || substr(md5(query_id::VARCHAR || '|' ||
+                       neighbor_id::VARCHAR), 1, 15))::BIGINT,
+                      neighbor_id) AS srk
+    FROM sym)
+  WHERE srk <= 3
+), cand AS (
+  SELECT DISTINCT l.query_id, r.cand_id AS neighbor_id
+  FROM (SELECT neighbor_id AS mid, query_id FROM capped) l
+  JOIN (SELECT query_id AS mid, neighbor_id AS cand_id FROM capped) r
+    USING (mid)
+  WHERE l.query_id != r.cand_id
+), fresh AS (
+  SELECT c.query_id, c.neighbor_id FROM cand c
+  LEFT JOIN e0 ON c.query_id = e0.query_id AND c.neighbor_id = e0.neighbor_id
+  WHERE e0.query_id IS NULL
+), scored_new AS (
+  SELECT f.query_id, f.neighbor_id, {_nnd_cos_sql('a', 'b')} AS cosine
+  FROM fresh f JOIN embeddings a ON f.query_id = a.vec_id
+               JOIN embeddings b ON f.neighbor_id = b.vec_id
+), merged AS (
+  SELECT * FROM e0s UNION ALL SELECT * FROM scored_new
+)
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM merged)
+WHERE rank <= 3
+"""
 
 
 # ============================================================ text analysis
@@ -2491,6 +2680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_byte_features": _mm_features,
         # --- (2) new in round 4 ---
         "eval_nmi_components": _eval_nmi_components,
+        "ann_nnd_parity": _ann_nnd_parity,
+        "link_clusters_chain": _link_clusters_chain,
         # --- (3) changed / touched in round 4 ---
         "dedup_minhash_lsh_parity": _dedup_minhash_lsh_parity,
         "er_canopy_parity": _er_canopy_parity,
@@ -2590,6 +2781,7 @@ def oracle_sql() -> dict[str, str]:
         # gates); the greedy ITSELF is value-oracled by the analytic
         # link_partition_chain fixture below
         "link_partition_chain": _LINK_PARTITION_CHAIN_SQL,
+        "link_clusters_chain": _LINK_CLUSTERS_CHAIN_SQL,
         "discover_reattach": _DISCOVER_REATTACH_SQL,
         "graph_mst_forest": _GRAPH_MST_SQL,
         "rel_kmeans2_threshold": _rel_kmeans2_sql(),
@@ -2612,6 +2804,7 @@ def oracle_sql() -> dict[str, str]:
         # rows-only; the sign-LSH FLOW is value-oracled by the
         # Rademacher parity twin below
         "ann_lsh_parity": _ann_lsh_parity_sql(),
+        "ann_nnd_parity": _ANN_NND_PARITY_SQL,
         "ann_ivf_parity": _ann_ivf_parity_sql(),
         "ann_ivf_refined_parity": _ann_ivf_refined_parity_sql(),
         "ann_pq_parity": _ann_pq_parity_sql(),

@@ -20,3 +20,13 @@ def md5_prefix_hash64(col_name: str) -> Column:
         f"cast(conv(substring(md5(cast({col_name} as string)), 1, 15), 16, 10) "
         f"as bigint)"
     )
+
+
+def md5_pair_hash64(a_col: str, b_col: str) -> Column:
+    """The pair-keyed variant (e.g. NN-descent's degree-cap order):
+    first 60 bits of md5(a || '|' || b). DuckDB twin:
+    ('0x' || substr(md5(a::VARCHAR || '|' || b::VARCHAR), 1, 15))::BIGINT."""
+    return F.expr(
+        f"cast(conv(substring(md5(concat_ws('|', cast({a_col} as string), "
+        f"cast({b_col} as string))), 1, 15), 16, 10) as bigint)"
+    )

@@ -831,6 +831,75 @@ def pq_topk(
     return _topk_window(scored, k)
 
 
+def nnd_round(
+    edges: DataFrame,
+    base: DataFrame,
+    k: int,
+    sample_k: int,
+    cap_hash: Column,
+) -> DataFrame:
+    """ONE NN-descent round (Dong, Moses & Li, WWW 2011): symmetrize →
+    degree-cap (ordered by `cap_hash` — xxhash64 in production,
+    `parityhash.md5_pair_hash64` in the SQL-oracle twin) →
+    neighbor-of-neighbor candidates through the shared middle node →
+    anti-join out known edges → exact-cosine score the fresh pairs →
+    merge → per-node top-k. Factored out so the production loop
+    (nn_descent_topk) and __spark_entry__'s `ann_nnd_parity` run the
+    LITERAL same kernel; the twin's DuckDB oracle restates the round
+    value-for-value. edges: (query_id, neighbor_id, cosine);
+    base: (nid, vec)."""
+    # (1) symmetrized neighborhood, degree-capped for generation
+    sym = edges.select("query_id", "neighbor_id").unionByName(
+        edges.select(
+            F.col("neighbor_id").alias("query_id"),
+            F.col("query_id").alias("neighbor_id"),
+        )
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    wcap = W.partitionBy("query_id").orderBy(
+        cap_hash.asc(), F.col("neighbor_id").asc()
+    )
+    capped = (
+        sym.withColumn("srk", F.row_number().over(wcap))
+        .where(F.col("srk") <= sample_k)
+        .select("query_id", "neighbor_id")
+    )
+    # (2) neighbor-of-neighbor through the shared middle node
+    cand = (
+        capped.select(F.col("neighbor_id").alias("mid"), F.col("query_id"))
+        .join(
+            capped.select(
+                F.col("query_id").alias("mid"),
+                F.col("neighbor_id").alias("cand_id"),
+            ),
+            "mid",
+        )
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", F.col("cand_id").alias("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    # (3) score only pairs not already in the graph
+    fresh = cand.join(
+        edges.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_anti",
+    )
+    scored_new = (
+        fresh.join(base.select(F.col("nid").alias("query_id"),
+                               F.col("vec").alias("q_vec")), "query_id")
+        .join(base.select(F.col("nid").alias("neighbor_id"),
+                          F.col("vec").alias("c_vec")), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            qround(array_cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+    )
+    # (4) merge and re-take top-k
+    return _topk_window(
+        edges.unionByName(scored_new), k
+    ).select("query_id", "neighbor_id", "cosine")
+
+
 def nn_descent_topk(
     corpus: DataFrame,
     k: int = 10,
@@ -882,58 +951,10 @@ def nn_descent_topk(
         corpus, k=k, id_col=id_col, vec_col=vec_col, seed=seed
     ).select("query_id", "neighbor_id", "cosine")
     edges = ckpt(edges)
+    cap_hash = F.xxhash64("query_id", "neighbor_id", F.lit(seed))
 
     for _ in range(iterations):
-        # (1) symmetrized neighborhood, degree-capped for generation
-        sym = edges.select("query_id", "neighbor_id").unionByName(
-            edges.select(
-                F.col("neighbor_id").alias("query_id"),
-                F.col("query_id").alias("neighbor_id"),
-            )
-        ).dropDuplicates(["query_id", "neighbor_id"])
-        wcap = W.partitionBy("query_id").orderBy(
-            F.xxhash64("query_id", "neighbor_id", F.lit(seed)).asc()
-        )
-        capped = (
-            sym.withColumn("srk", F.row_number().over(wcap))
-            .where(F.col("srk") <= sample_k)
-            .select("query_id", "neighbor_id")
-        )
-        # (2) neighbor-of-neighbor through the shared middle node
-        cand = (
-            capped.select(F.col("neighbor_id").alias("mid"), F.col("query_id"))
-            .join(
-                capped.select(
-                    F.col("query_id").alias("mid"),
-                    F.col("neighbor_id").alias("cand_id"),
-                ),
-                "mid",
-            )
-            .where(F.col("query_id") != F.col("cand_id"))
-            .select("query_id", F.col("cand_id").alias("neighbor_id"))
-            .dropDuplicates(["query_id", "neighbor_id"])
-        )
-        # (3) score only pairs not already in the graph
-        fresh = cand.join(
-            edges.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_anti",
-        )
-        scored_new = (
-            fresh.join(base.select(F.col("nid").alias("query_id"),
-                                   F.col("vec").alias("q_vec")), "query_id")
-            .join(base.select(F.col("nid").alias("neighbor_id"),
-                              F.col("vec").alias("c_vec")), "neighbor_id")
-            .select(
-                "query_id",
-                "neighbor_id",
-                qround(array_cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
-            )
-        )
-        # (4) merge and re-take top-k
-        merged = _topk_window(
-            edges.unionByName(scored_new), k
-        ).select("query_id", "neighbor_id", "cosine")
+        merged = nnd_round(edges, base, k, sample_k, cap_hash)
         merged = ckpt(merged)
         if early_stop:
             no_change = merged.join(
