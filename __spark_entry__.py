@@ -1113,6 +1113,148 @@ FROM g
 """
 
 
+_FS_ML_FIELDS = ["source", "size", "bucket"]
+_FS_ML_LEVELS = {"source": 2, "size": 2, "bucket": 1}
+_FS_ML_M = {
+    "source": [0.02, 0.08, 0.90],
+    "size": [0.05, 0.15, 0.80],
+    "bucket": [0.10, 0.90],
+}
+_FS_ML_U = {
+    "source": [0.55, 0.40, 0.05],
+    "size": [0.60, 0.30, 0.10],
+    "bucket": [0.70, 0.30],
+}
+
+
+def _er_fs_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-LEVEL Fellegi-Sunter (the Splink comparison-level model +
+    term-frequency adjustment — round-3 VERDICT item 6) over the same
+    sorted-neighborhood candidates as er_fs_weights: graded gammas per
+    field (source: exact / JW>=0.85 close / other; size: |Δ|<=2 /
+    |Δ|<=20 / other; bucket: binary), per-level pinned m/u feeding
+    per-level log2 weight literals, plus Winkler/Splink TF adjustment
+    on `source` — agreeing on a RARE source outweighs agreeing on a
+    common one (log2(u_exact)+log2(n)-log2(cnt_v), engine-side logs of
+    integers, final qround). EM for per-level m/u is pytest-proven
+    (test_fellegi_sunter.py: recovers multi-level generating params);
+    here the fitted params enter both engines as identical literals."""
+    from blink_spark.functions.similarity import jaro_winkler_udf
+    from blink_spark.operators import fellegi_sunter as fs
+    from blink_spark.operators.pairs import sorted_neighborhood_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    n_records = d.count()
+    pairs = sorted_neighborhood_pairs(
+        d, "n_chars", id_col="doc_id", window=3, by="lang"
+    ).select("id_a", "id_b")
+    fa = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("source_a"),
+        F.col("n_chars").alias("n_chars_a"),
+    )
+    fb = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("source_b"),
+        F.col("n_chars").alias("n_chars_b"),
+    )
+    joined = pairs.join(fa, "id_a").join(fb, "id_b")
+    jw = jaro_winkler_udf()
+    dn = F.abs(F.col("n_chars_a") - F.col("n_chars_b"))
+    gam = fs.attach_gammas_multilevel(
+        joined,
+        {
+            "source": [
+                F.col("source_a") == F.col("source_b"),
+                jw(F.col("source_a"), F.col("source_b")) >= F.lit(0.85),
+            ],
+            "size": [dn <= 2, dn <= 20],
+            "bucket": [
+                (F.col("n_chars_a") / 100).cast("long")
+                == (F.col("n_chars_b") / 100).cast("long")
+            ],
+        },
+    )
+    tf = fs.term_frequency_table(d, "source").withColumnRenamed(
+        "source", "source_a"
+    )
+    gam = gam.join(F.broadcast(tf), "source_a")
+    w = fs.multilevel_weight_col(
+        _FS_ML_FIELDS, fs.multilevel_weights(_FS_ML_M, _FS_ML_U)
+    )
+    adj = fs.tf_adjustment_col(
+        "source", 2, _FS_ML_U["source"][2], n_records
+    )
+    return gam.select(
+        "id_a",
+        "id_b",
+        F.col("g_source").cast("long").alias("g_source"),
+        F.col("g_size").cast("long").alias("g_size"),
+        F.col("g_bucket").cast("long").alias("g_bucket"),
+        qround(w, 6).alias("weight"),
+        qround(adj, 6).alias("tf_adj"),
+    )
+
+
+def _er_fs_multilevel_sql() -> str:
+    import math as _math
+
+    from blink_spark.operators.fellegi_sunter import multilevel_weights
+
+    ws = multilevel_weights(_FS_ML_M, _FS_ML_U)
+    terms = " + ".join(
+        "(CASE g_{f} {whens} ELSE 0.0::DOUBLE END)".format(
+            f=f,
+            whens=" ".join(
+                f"WHEN {l} THEN {ws[f][l]!r}::DOUBLE"
+                for l in range(len(ws[f]))
+            ),
+        )
+        for f in _FS_ML_FIELDS
+    )
+    lu = repr(_math.log2(_FS_ML_U["source"][2]))
+    return f"""
+WITH nn AS (
+  SELECT doc_id,
+         lead(doc_id, 1) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS n1,
+         lead(doc_id, 2) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS n2
+  FROM documents
+), p AS (
+  SELECT least(doc_id, n1) AS id_a, greatest(doc_id, n1) AS id_b
+  FROM nn WHERE n1 IS NOT NULL
+  UNION ALL
+  SELECT least(doc_id, n2) AS id_a, greatest(doc_id, n2) AS id_b
+  FROM nn WHERE n2 IS NOT NULL
+), g AS (
+  SELECT p.id_a, p.id_b, a.source AS source_a,
+         (CASE WHEN a.source = b.source THEN 2
+               WHEN jaro_winkler_similarity(a.source, b.source) >= 0.85 THEN 1
+               ELSE 0 END)::BIGINT AS g_source,
+         (CASE WHEN abs(a.n_chars - b.n_chars) <= 2 THEN 2
+               WHEN abs(a.n_chars - b.n_chars) <= 20 THEN 1
+               ELSE 0 END)::BIGINT AS g_size,
+         (CASE WHEN CAST(floor(a.n_chars / 100.0) AS BIGINT)
+                    = CAST(floor(b.n_chars / 100.0) AS BIGINT)
+               THEN 1 ELSE 0 END)::BIGINT AS g_bucket
+  FROM p JOIN documents a ON p.id_a = a.doc_id
+         JOIN documents b ON p.id_b = b.doc_id
+), tf AS (
+  SELECT source AS source_a, count(*)::BIGINT AS cnt
+  FROM documents GROUP BY 1
+)
+SELECT id_a, id_b, g_source, g_size, g_bucket,
+       (floor((0.0 + {terms}) * 1000000.0 + 0.5) / 1000000.0) AS weight,
+       (floor((CASE WHEN g_source = 2
+                    THEN {lu}::DOUBLE
+                         + log2((SELECT count(*) FROM documents)::DOUBLE)
+                         - log2(tf.cnt::DOUBLE)
+                    ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0) AS tf_adj
+FROM g JOIN tf USING (source_a)
+"""
+
+
 # ====================================================================== ANN
 
 def _ann_queries(df: DataFrame) -> DataFrame:
@@ -2682,6 +2824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_nmi_components": _eval_nmi_components,
         "ann_nnd_parity": _ann_nnd_parity,
         "link_clusters_chain": _link_clusters_chain,
+        "er_fs_multilevel": _er_fs_multilevel,
         # --- (3) changed / touched in round 4 ---
         "dedup_minhash_lsh_parity": _dedup_minhash_lsh_parity,
         "er_canopy_parity": _er_canopy_parity,
@@ -2771,6 +2914,7 @@ def oracle_sql() -> dict[str, str]:
         "er_sorted_neighborhood": _ER_SORTED_NEIGHBORHOOD_SQL,
         "er_sorted_global": _ER_SORTED_GLOBAL_SQL,
         "er_fs_weights": _er_fs_weights_sql(),
+        "er_fs_multilevel": _er_fs_multilevel_sql(),
         "er_canopy_parity": _ER_CANOPY_PARITY_SQL,
         "samp_hash_split": _samp_hash_split_sql(),
         "samp_stratified_split": _samp_stratified_split_sql(),

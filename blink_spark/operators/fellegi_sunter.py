@@ -156,6 +156,220 @@ def match_weight_col(fields: list[str], weights: dict) -> Column:
     return total
 
 
+def attach_gammas_multilevel(
+    pairs: DataFrame, comparisons: dict[str, list[Column]]
+) -> DataFrame:
+    """Multi-LEVEL agreement vectors (the Splink comparison-level model;
+    Winkler 1990 extends binary gammas to graded agreement): per field,
+    an ordered list of level predicates STRONGEST FIRST (e.g. exact
+    equality, then Jaro-Winkler >= 0.9); gamma g_<field> = L - i for
+    the first predicate i that fires (so the strongest level carries
+    the highest value, L = len(levels)), 0 = none ('other'). NULL
+    predicates coalesce to false — same NULL discipline as
+    attach_gammas."""
+    out = pairs
+    for name, levels in comparisons.items():
+        expr = None
+        for i, cond in enumerate(levels):
+            val = len(levels) - i
+            safe = F.coalesce(cond, F.lit(False))
+            expr = (
+                F.when(safe, F.lit(val))
+                if expr is None
+                else expr.when(safe, F.lit(val))
+            )
+        out = out.withColumn(
+            f"g_{name}", expr.otherwise(F.lit(0)).cast("int")
+        )
+    return out
+
+
+def _normalize(dist: list[float]) -> list[float]:
+    """Scale to sum 1, clamp each level prob away from {0, 1}, rescale
+    (driver floats — they only re-enter the plan as literals). Scaling
+    must precede the clamp: raw weights > 1 would otherwise all pin at
+    1-eps and collapse every distribution to uniform — m == u is a
+    do-nothing EM fixed point."""
+    s = sum(dist)
+    c = [_clamp(x / s) for x in dist]
+    s2 = sum(c)
+    return [x / s2 for x in c]
+
+
+def em_fit_multilevel(
+    gammas: DataFrame,
+    levels: dict[str, int],
+    iters: int = 10,
+    init_m: dict[str, list[float]] | None = None,
+    init_u: dict[str, list[float]] | None = None,
+    init_lambda: float = 0.1,
+) -> dict:
+    """EM for (lambda, m_i[l], u_i[l]) with PER-LEVEL probabilities:
+    m_i[l] = P(gamma_i = l | match) over l in 0..L_i, summing to 1
+    (the categorical naive-Bayes latent-class model — binary em_fit is
+    the L=1 special case). Same execution discipline: E-step one
+    Column expression with parameter literals, M-step ONE aggregation
+    with exact-DECIMAL sums (bit-identical at any parallelism), fixed
+    iteration count.
+
+    levels: field -> number of NONZERO levels L (gamma in 0..L).
+    Default init spreads m toward high levels and u toward level 0.
+    Returns {"lambda", "m": {field: [p0..pL]}, "u": ..., "n_pairs",
+    "iterations"}."""
+    fields = list(levels)
+    m: dict[str, list[float]] = {}
+    u: dict[str, list[float]] = {}
+    for f in fields:
+        nl = levels[f] + 1
+        m[f] = _normalize(
+            list(init_m[f]) if init_m else [1.0 + 4.0 * l for l in range(nl)]
+        )
+        u[f] = _normalize(
+            list(init_u[f]) if init_u else [4.0 * nl] + [1.0] * (nl - 1)
+        )
+    lam = _clamp(init_lambda)
+    from blink_spark.io.scratch import spill_scratch
+
+    gcols = [F.col(f"g_{f}") for f in fields]
+    gammas, _ = spill_scratch(gammas.select(*gcols), "fs_ml_gammas")
+    n_pairs = None
+    for _ in range(iters):
+        pm = F.lit(lam)
+        pu = F.lit(1.0 - lam)
+        for f in fields:
+            g = F.col(f"g_{f}")
+            em = None
+            eu = None
+            for l in range(levels[f] + 1):
+                em = (
+                    F.when(g == l, F.lit(m[f][l]))
+                    if em is None
+                    else em.when(g == l, F.lit(m[f][l]))
+                )
+                eu = (
+                    F.when(g == l, F.lit(u[f][l]))
+                    if eu is None
+                    else eu.when(g == l, F.lit(u[f][l]))
+                )
+            pm = pm * em.otherwise(F.lit(_EPS))
+            pu = pu * eu.otherwise(F.lit(_EPS))
+        p = (pm / (pm + pu)).alias("p")
+        scored = gammas.select(p, *gcols)
+        dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731 — exact sums
+        aggs = [
+            F.sum(dec(F.col("p"))).alias("sp"),
+            F.sum(dec(F.lit(1.0) - F.col("p"))).alias("snp"),
+            F.count(F.lit(1)).alias("n"),
+        ]
+        for f in fields:
+            for l in range(levels[f] + 1):
+                ind = (F.col(f"g_{f}") == l).cast("double")
+                aggs.append(F.sum(dec(F.col("p") * ind)).alias(f"spg_{f}_{l}"))
+                aggs.append(
+                    F.sum(dec((F.lit(1.0) - F.col("p")) * ind)).alias(
+                        f"snpg_{f}_{l}"
+                    )
+                )
+        row = scored.agg(*aggs).collect()[0]
+        n_pairs = int(row["n"])
+        if n_pairs == 0:
+            raise ValueError(
+                "em_fit_multilevel: no candidate pairs — blocking produced "
+                "an empty gamma table; widen the blocking before fitting"
+            )
+        sp = max(float(row["sp"]), _EPS)
+        snp = max(float(row["snp"]), _EPS)
+        lam = _clamp(sp / n_pairs)
+        for f in fields:
+            m[f] = _normalize(
+                [float(row[f"spg_{f}_{l}"]) / sp for l in range(levels[f] + 1)]
+            )
+            u[f] = _normalize(
+                [float(row[f"snpg_{f}_{l}"]) / snp for l in range(levels[f] + 1)]
+            )
+    return {
+        "lambda": lam,
+        "m": m,
+        "u": u,
+        "n_pairs": n_pairs,
+        "iterations": iters,
+    }
+
+
+def multilevel_weights(
+    m: dict[str, list[float]], u: dict[str, list[float]]
+) -> dict[str, list[float]]:
+    """Per-level log2(m_l/u_l) match weights — the literals both the
+    Spark plan and a SQL oracle receive verbatim (level 0's weight is
+    the disagreement penalty)."""
+    return {
+        f: [math.log2(m[f][l] / u[f][l]) for l in range(len(m[f]))] for f in m
+    }
+
+
+def multilevel_weight_col(
+    fields: list[str], weights: dict[str, list[float]]
+) -> Column:
+    """Multi-level Fellegi-Sunter match weight: per field, a CASE over
+    the gamma level selecting that level's literal weight; summed in
+    field order — engine-portable (no engine-side log/pow)."""
+    total = F.lit(0.0)
+    for f in fields:
+        g = F.col(f"g_{f}")
+        expr = None
+        for l, w in enumerate(weights[f]):
+            expr = (
+                F.when(g == l, F.lit(w))
+                if expr is None
+                else expr.when(g == l, F.lit(w))
+            )
+        total = total + expr.otherwise(F.lit(0.0))
+    return total
+
+
+def term_frequency_table(
+    records: DataFrame, field: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-value counts for TF adjustment: (field value, tf_cnt).
+    One groupBy; broadcast-joinable for any realistic value universe
+    (a value universe too big to broadcast shuffles fine too — the
+    join key is the field itself)."""
+    return records.groupBy(F.col(field)).agg(
+        F.count(F.lit(1)).alias(f"tf_cnt_{field}")
+    )
+
+
+def tf_adjustment_col(
+    field: str,
+    exact_level: int,
+    u_exact: float,
+    n_records: int,
+) -> Column:
+    """Term-frequency adjustment (Winkler 1988; Splink's
+    term_frequency_adjustments): agreeing on a RARE value is stronger
+    evidence than agreeing on a common one. For a pair agreeing
+    exactly on value v, the average u of the exact level is replaced
+    by the value's own collision rate tf_v = cnt_v / n, adding
+
+        adj = log2(u_exact / tf_v)
+            = log2(u_exact) + log2(n) - log2(cnt_v)
+
+    to the match weight (positive for rare values, negative for
+    common ones). log2(u_exact) enters as a driver literal; log2(n)
+    and log2(cnt_v) are engine-side logs of INTEGER arguments — the
+    same cross-engine class as eval's quantized-ln terms (pinned by
+    tests/test_eval_nmi.py), absorbed by the caller's final qround.
+    Applies ONLY at the exact level (other levels keep the average
+    weight); expects `tf_cnt_<field>` joined from
+    term_frequency_table."""
+    return F.when(
+        F.col(f"g_{field}") == exact_level,
+        F.lit(math.log2(u_exact))
+        + F.log2(F.lit(float(n_records)))
+        - F.log2(F.col(f"tf_cnt_{field}")),
+    ).otherwise(F.lit(0.0))
+
+
 def estimate_u_probs(
     records: DataFrame,
     comparisons: dict[str, Column],

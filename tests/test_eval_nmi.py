@@ -94,3 +94,25 @@ def test_xlnx_micro_cross_engine(spark):
     # and pin python's libm to the same grid (the pytest oracle itself)
     py = sum(math.floor(k * math.log(k) * 1e6 + 0.5) for k in range(1, hi + 1))
     assert py == int(want[0])
+
+
+def test_log2_micro_cross_engine(spark):
+    """Same pin for log2 of integers — the FS term-frequency
+    adjustment's engine-side log (fellegi_sunter.tf_adjustment_col)."""
+    hi = 100_000
+    got = (
+        spark.range(1, hi + 1)
+        .select(
+            F.sum(
+                F.floor(
+                    F.log2(F.col("id").cast("double")) * F.lit(1e6) + F.lit(0.5)
+                ).cast("long")
+            ).alias("s")
+        )
+        .collect()[0]["s"]
+    )
+    want = duckdb.sql(
+        f"SELECT sum(CAST(floor(log2(k) * 1000000.0 + 0.5) AS BIGINT)) "
+        f"FROM range(1, {hi + 1}) t(k)"
+    ).fetchone()[0]
+    assert int(got) == int(want)

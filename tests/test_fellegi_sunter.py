@@ -103,6 +103,109 @@ def test_estimate_u_from_random_pairs(spark):
     assert est["u"]["dec"] == pytest.approx(1 / 10, abs=0.04)
 
 
+def _draw(rng, dist):
+    x = rng.random()
+    c = 0.0
+    for l, p in enumerate(dist):
+        c += p
+        if x < c:
+            return l
+    return len(dist) - 1
+
+
+def test_em_multilevel_recovers_generating_parameters(spark):
+    """Data from a known multi-level latent-class model: EM must
+    recover lambda and every per-level m/u (round-3 VERDICT item 6's
+    'EM property test recovering multi-level generating params')."""
+    import random
+
+    rng = random.Random(5)
+    LAM = 0.3
+    # three conditionally-independent fields: a 2-class latent-class
+    # model needs >= 3 indicators to be identifiable (Kruskal rank
+    # condition) — with two, EM trades mass between b and lambda
+    M = {"a": [0.05, 0.15, 0.80], "b": [0.20, 0.80], "c": [0.10, 0.30, 0.60]}
+    U = {"a": [0.70, 0.25, 0.05], "b": [0.85, 0.15], "c": [0.60, 0.30, 0.10]}
+    rows = []
+    for _ in range(4000):
+        src = M if rng.random() < LAM else U
+        rows.append(
+            (_draw(rng, src["a"]), _draw(rng, src["b"]), _draw(rng, src["c"]))
+        )
+    df = spark.createDataFrame(rows, "g_a int, g_b int, g_c int")
+    fit = fs.em_fit_multilevel(df, {"a": 2, "b": 1, "c": 2}, iters=30)
+    assert abs(fit["lambda"] - LAM) < 0.05, fit["lambda"]
+    for f in M:
+        for l in range(len(M[f])):
+            assert abs(fit["m"][f][l] - M[f][l]) < 0.07, (f, l, fit["m"])
+            assert abs(fit["u"][f][l] - U[f][l]) < 0.07, (f, l, fit["u"])
+
+
+def test_em_multilevel_deterministic_across_partitioning(spark):
+    import random
+
+    rng = random.Random(9)
+    rows = [(rng.randrange(3), rng.randrange(2)) for _ in range(600)]
+    a = fs.em_fit_multilevel(
+        spark.createDataFrame(rows, "g_a int, g_b int").repartition(1),
+        {"a": 2, "b": 1},
+        iters=5,
+    )
+    b = fs.em_fit_multilevel(
+        spark.createDataFrame(rows, "g_a int, g_b int").repartition(13),
+        {"a": 2, "b": 1},
+        iters=5,
+    )
+    assert a == b  # exact-DECIMAL M-step sums: bit-identical
+
+
+def test_multilevel_gammas_strongest_first_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "x", "x"), (2, "x", "xy"), (3, "x", "zz"), (4, "x", None)],
+        "id long, s_a string, s_b string",
+    )
+    g = fs.attach_gammas_multilevel(
+        df,
+        {
+            "s": [
+                F.col("s_a") == F.col("s_b"),
+                F.substring("s_a", 1, 1) == F.substring("s_b", 1, 1),
+            ]
+        },
+    )
+    got = {r["id"]: r["g_s"] for r in g.collect()}
+    # exact fires 2 (even though the close predicate also holds),
+    # close-only fires 1, neither 0, NULL side counts as 0
+    assert got == {1: 2, 2: 1, 3: 0, 4: 0}
+
+
+def test_tf_adjustment_rare_beats_common(spark):
+    """Agreement on a rare value must earn a positive adjustment and a
+    common value a negative one (u_exact sits between their collision
+    rates); non-exact levels get exactly 0."""
+    recs = spark.createDataFrame(
+        [(i, "common" if i < 90 else "rare") for i in range(100)],
+        "doc_id long, src string",
+    )
+    tf = fs.term_frequency_table(recs, "src")
+    pairs = spark.createDataFrame(
+        [("common", 2), ("rare", 2), ("common", 1)],
+        "src string, g_src int",
+    ).join(tf, "src")
+    # u_exact = 0.2: common tf=0.9 (adj<0), rare tf=0.1 (adj>0)
+    out = pairs.select(
+        "src",
+        "g_src",
+        fs.tf_adjustment_col("src", 2, 0.2, 100).alias("adj"),
+    ).collect()
+    by = {(r["src"], r["g_src"]): r["adj"] for r in out}
+    assert by[("common", 2)] < 0 < by[("rare", 2)]
+    assert by[("common", 1)] == 0.0
+    import math
+
+    assert by[("rare", 2)] == pytest.approx(math.log2(0.2 / 0.1), abs=1e-9)
+
+
 def test_estimate_u_too_few_records_raises(spark):
     """<2 records -> zero random pairs: a descriptive error, not a
     float(None) TypeError (round-3 ADVICE item 4)."""
