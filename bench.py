@@ -117,7 +117,14 @@ def main() -> int:
         "er_canopy_parity",
         "er_sorted_global",
     ]
-    for name in headline + round3:
+    # round-4 additions, same discipline
+    round4 = [
+        "eval_nmi_components",
+        "ann_nnd_parity",
+        "link_clusters_chain",
+        "er_fs_multilevel",
+    ]
+    for name in headline + round3 + round4:
         t0 = time.time()
         materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
