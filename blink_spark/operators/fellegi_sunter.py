@@ -287,6 +287,18 @@ def em_fit_multilevel(
             u[f] = _normalize(
                 [float(row[f"snpg_{f}_{l}"]) / snp for l in range(levels[f] + 1)]
             )
+    # canonical orientation: the latent-class likelihood is symmetric
+    # under (lam, m, u) <-> (1-lam, u, m); when candidate pairs are
+    # majority-match (tight blocking) EM can land in the mirrored
+    # basin. The MATCH class is by definition the one that agrees more
+    # — swap if the expected agreement level drifted the other way.
+    drift = sum(
+        sum(l * p for l, p in enumerate(m[f]))
+        - sum(l * p for l, p in enumerate(u[f]))
+        for f in fields
+    )
+    if drift < 0:
+        m, u, lam = u, m, 1.0 - lam
     return {
         "lambda": lam,
         "m": m,
@@ -429,6 +441,123 @@ def score_pairs(
     return gammas.withColumn("weight", qround(w, 6)).withColumn(
         "p_match", qround(post, 6)
     )
+
+
+def estimate_u_probs_multilevel(
+    records: DataFrame,
+    comparisons: dict[str, list[Column]],
+    id_col: str = "doc_id",
+    sample: int = 200,
+    seed: int = 42,
+) -> dict:
+    """Multi-level analog of :func:`estimate_u_probs`: the per-LEVEL
+    rate over deterministic random record pairs is u_i[l] (random
+    pairs are non-matches at realistic prevalence). Same hash-min
+    sampling, one aggregation."""
+    ids = (
+        records.withColumn("_u_hash", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("_u_hash")
+        .limit(sample)
+        .drop("_u_hash")
+    )
+    a = ids.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in records.columns if c != id_col],
+    )
+    b = ids.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in records.columns if c != id_col],
+    )
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    gam = attach_gammas_multilevel(pairs, comparisons)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for f, levels in comparisons.items():
+        for l in range(len(levels) + 1):
+            aggs.append(
+                F.avg((F.col(f"g_{f}") == l).cast("double")).alias(f"{f}_{l}")
+            )
+    row = gam.agg(*aggs).collect()[0]
+    if int(row["n"]) == 0:
+        raise ValueError(
+            "estimate_u_probs_multilevel: the corpus yields zero random "
+            "pairs (fewer than 2 records after sampling) — u cannot be "
+            "estimated; pass explicit init_u to em_fit_multilevel instead"
+        )
+    return {
+        "u": {
+            f: _normalize(
+                [float(row[f"{f}_{l}"]) for l in range(len(levels) + 1)]
+            )
+            for f, levels in comparisons.items()
+        },
+        "n_pairs": int(row["n"]),
+    }
+
+
+def score_pairs_multilevel(
+    gammas: DataFrame,
+    fields: list[str],
+    m: dict[str, list[float]],
+    u: dict[str, list[float]],
+    lam: float,
+) -> DataFrame:
+    """Multi-level ``score_pairs``: per-level weight literals, same
+    posterior transform."""
+    w = multilevel_weight_col(fields, multilevel_weights(m, u))
+    prior = math.log2(lam / (1.0 - lam))
+    post = F.lit(1.0) / (F.lit(1.0) + F.pow(F.lit(2.0), -(w + F.lit(prior))))
+    return gammas.withColumn("weight", qround(w, 6)).withColumn(
+        "p_match", qround(post, 6)
+    )
+
+
+def fs_cluster_multilevel(
+    records: DataFrame,
+    pairs: DataFrame,
+    comparisons: dict[str, list[Column]],
+    id_col: str = "doc_id",
+    em_iters: int = 10,
+    threshold_p: float = 0.9,
+    u_sample: int = 200,
+    seed: int = 42,
+) -> dict:
+    """:func:`fs_cluster` with graded comparison levels — the Splink
+    workflow a linkage user actually runs: candidate pairs → per-level
+    gammas → u from deterministic random pairs → per-level EM →
+    posterior threshold → distributed connected components. Same
+    execution discipline as the binary path (one spill of the gamma
+    table, DECIMAL-exact EM, every record clustered)."""
+    from blink_spark.io.scratch import spill_scratch
+    from blink_spark.operators.connected_components import (
+        assign_clusters,
+        connected_components,
+    )
+
+    feat_cols = [c for c in records.columns if c != id_col]
+    fa = records.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in feat_cols],
+    )
+    fb = records.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in feat_cols],
+    )
+    joined = pairs.select("id_a", "id_b").join(fa, "id_a").join(fb, "id_b")
+    gammas = attach_gammas_multilevel(joined, comparisons)
+    gammas, _ = spill_scratch(gammas, "fs_ml_gammas_full")
+    fields = list(comparisons)
+    levels = {f: len(comparisons[f]) for f in fields}
+    u0 = estimate_u_probs_multilevel(
+        records, comparisons, id_col, u_sample, seed
+    )["u"]
+    fit = em_fit_multilevel(gammas, levels, iters=em_iters, init_u=u0)
+    scored = score_pairs_multilevel(
+        gammas, fields, fit["m"], fit["u"], fit["lambda"]
+    )
+    edges = scored.where(F.col("p_match") >= threshold_p).select("id_a", "id_b")
+    comp = connected_components(edges)
+    clusters = assign_clusters(records.select(id_col), comp, id_col)
+    return {"clusters": clusters, "scored": scored, "fit": fit, "u0": u0}
 
 
 def fs_cluster(

@@ -283,6 +283,90 @@ def test_fs_cluster_end_to_end(spark):
     assert f1 >= 0.95, (f1, prec, rec)
 
 
+def test_fs_cluster_multilevel_end_to_end(spark):
+    """The multi-level workflow on the same noisy-duplicate corpus:
+    graded gammas (exact src / shared prefix; size |Δ|<=1 / <=3) must
+    recover gold entities at pairwise F1 >= 0.95, unsupervised, with
+    EM landing high-level mass in m and level-0 mass in u."""
+    from blink_spark.operators.pairs import sorted_neighborhood_pairs
+
+    rng = random.Random(7)
+    rows = []
+    rid = 0
+    for e in range(120):
+        for _ in range(3):
+            src = f"src{e}" if rng.random() > 0.1 else "srcX"
+            rows.append((rid, e, src, 10 * e + rng.randrange(2), e % 97))
+            rid += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, gold long, src string, size long, dec long"
+    ).cache()
+    df.count()
+    records = df.select("doc_id", "src", "size", "dec")
+    pairs = sorted_neighborhood_pairs(records, "size", id_col="doc_id", window=5)
+    dn = F.abs(F.col("size_a") - F.col("size_b"))
+    res = fs.fs_cluster_multilevel(
+        records,
+        pairs,
+        {
+            "src": [
+                F.col("src_a") == F.col("src_b"),
+                F.substring("src_a", 1, 4) == F.substring("src_b", 1, 4),
+            ],
+            "size": [dn <= 1, dn <= 3],
+            "dec": [F.col("dec_a") == F.col("dec_b")],
+        },
+        em_iters=15,
+        threshold_p=0.9,
+    )
+    fit = res["fit"]
+    # matches concentrate above level 0 and agree exactly far more
+    # often than non-matches; non-matches may legitimately sit at the
+    # CLOSE level (every src shares the 'src' prefix), so only the
+    # exact level separates universally
+    assert all(fit["m"][f][0] < 0.4 for f in fit["m"]), fit["m"]
+    for f in fit["m"]:
+        top = len(fit["m"][f]) - 1
+        assert fit["m"][f][top] > fit["u"][f][top] + 0.3, (f, fit)
+    assert fit["u"]["size"][0] > 0.6 and fit["u"]["dec"][0] > 0.6, fit["u"]
+    joined = res["clusters"].join(df.select("doc_id", "gold"), "doc_id")
+    both = joined.alias("x").join(
+        joined.alias("y"), F.col("x.doc_id") < F.col("y.doc_id")
+    )
+    agg = both.agg(
+        F.sum(
+            (
+                (F.col("x.cluster_id") == F.col("y.cluster_id"))
+                & (F.col("x.gold") == F.col("y.gold"))
+            ).cast("long")
+        ).alias("tp"),
+        F.sum(
+            (F.col("x.cluster_id") == F.col("y.cluster_id")).cast("long")
+        ).alias("pp"),
+        F.sum((F.col("x.gold") == F.col("y.gold")).cast("long")).alias("gp"),
+    ).collect()[0]
+    prec = agg["tp"] / agg["pp"]
+    rec = agg["tp"] / agg["gp"]
+    f1 = 2 * prec * rec / (prec + rec)
+    assert f1 >= 0.95, (f1, prec, rec)
+
+
+def test_estimate_u_multilevel_rates(spark):
+    """Uniform value fields: random-pair level rates are analytic
+    (exact agreement 1/v), and the distribution sums to 1."""
+    rows = [(i, f"s{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    est = fs.estimate_u_probs_multilevel(
+        df,
+        {"src": [F.col("src_a") == F.col("src_b")]},
+        sample=120,
+    )
+    u = est["u"]["src"]
+    assert est["n_pairs"] == 120 * 119 // 2
+    assert u[1] == pytest.approx(0.25, abs=0.05)
+    assert sum(u) == pytest.approx(1.0, abs=1e-9)
+
+
 def test_em_fit_empty_pairs_raises(spark):
     empty = spark.createDataFrame([], "g_a int, g_b int")
     with pytest.raises(ValueError, match="no candidate pairs"):
