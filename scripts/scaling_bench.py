@@ -180,6 +180,15 @@ def main() -> int:
                     help="reuse/retain this corpus dir instead of a temp one")
     ap.add_argument("--ceiling", action="store_true",
                     help="also measure the machine's no-Spark parallel ceiling")
+    ap.add_argument("--pin", action="store_true",
+                    help="bind each child's WHOLE process tree (JVM + "
+                    "Arrow python workers) to exactly N cpus via taskset. "
+                    "Without pinning, a local[1] child still overlaps its "
+                    "task thread, GC, netty and python workers across free "
+                    "cores (pipeline parallelism), so the '1-core' baseline "
+                    "really consumes ~2 cores and deflates measured "
+                    "efficiency; a real N-core executor has no such spare "
+                    "cores. Pinned levels are the cluster-faithful reading.")
     args = ap.parse_args()
 
     if args.child is not None:
@@ -194,15 +203,27 @@ def main() -> int:
             print(json.dumps({"generated_files": n, "input": input_path}))
         results = {}
         for cores in args.levels:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--child", str(cores), "--input", input_path]
+            if args.pin:
+                # spread across the box instead of always cpus 0..N-1
+                # (cpu0 also fields interrupts); stride keeps siblings
+                # apart on SMT topologies
+                ncpu = os.cpu_count() or cores
+                stride = max(1, ncpu // cores)
+                cpus = ",".join(str((i * stride) % ncpu)
+                                for i in range(cores))
+                cmd = ["taskset", "-c", cpus] + cmd
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--child", str(cores), "--input", input_path],
+                cmd,
                 capture_output=True, text=True, timeout=3600,
             )
             line = out.stdout.strip().splitlines()[-1]
             results[cores] = json.loads(line)
+            results[cores]["pinned"] = bool(args.pin)
             print(json.dumps(results[cores]))
         summary = summarize(tuple(args.levels), results)
+        summary["pinned"] = bool(args.pin)
         if args.ceiling:
             ceil = hardware_ceiling(tuple(args.levels))
             summary["hardware_ceiling"] = ceil
