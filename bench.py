@@ -199,14 +199,22 @@ def main() -> int:
             with open(full) as fh:
                 scaling["scaling_full_size"] = json.load(fh)
         print(json.dumps(scaling))
-        # headline keeps only the two scalar verdicts for convenience
-        eff = (
-            scaling.get("scaling_full_size", {})
-            .get("headline", {})
-            .get("scaling_efficiency")
-        )
+        # headline keeps only scalar verdicts for convenience; support
+        # both the <=r3 artifact shape (headline.scaling_efficiency)
+        # and the r4 shape (raw range + ceiling-adjusted + prior hosts)
+        head = scaling.get("scaling_full_size", {}).get("headline", {})
+        eff = head.get("scaling_efficiency")
         if eff is not None:
             out["scaling_full_efficiency"] = eff
+        elif "this_host_raw" in head:
+            out["scaling_full_raw_range"] = head["this_host_raw"].get("range")
+            adj = head.get("bandwidth_ceiling_adjusted", {})
+            out["scaling_full_ceiling_adjusted"] = {
+                k: v for k, v in adj.items() if isinstance(v, (int, float))
+            }
+            out["scaling_prior_hosts_same_code"] = head.get(
+                "same_code_prior_hosts_raw"
+            )
 
     print(json.dumps(out))
     return 0
