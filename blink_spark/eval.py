@@ -382,11 +382,16 @@ def nmi_ari_components(
             ),
         ),
     ).otherwise(F.lit(1.0))
-    n2 = F.col("n") * (F.col("n") - F.lit(1))
-    ari_num = F.lit(2) * (F.col("idx2") * n2 - F.col("sa2") * F.col("sb2"))
+    # the four-way products reach ~2*n^4 — int64 wraps silently past
+    # n ~ 46k (the overflow ari_components documents); DECIMAL(38,0)
+    # keeps them exact to n ~ 2.6e9, past which Spark yields NULL and
+    # nmi_ari_distributed refuses loudly rather than reporting garbage
+    d = lambda c: c.cast("decimal(38,0)")
+    n2 = d(F.col("n")) * d(F.col("n") - F.lit(1))
+    ari_num = d(F.lit(2)) * (d(F.col("idx2")) * n2 - d(F.col("sa2")) * d(F.col("sb2")))
     ari_den = (
-        (F.col("sa2") + F.col("sb2")) * n2
-        - F.lit(2) * F.col("sa2") * F.col("sb2")
+        (d(F.col("sa2")) + d(F.col("sb2"))) * n2
+        - d(F.lit(2)) * d(F.col("sa2")) * d(F.col("sb2"))
     )
     ari = F.when(
         ari_den != 0, qround(ari_num.cast("double") / ari_den.cast("double"))
@@ -414,6 +419,12 @@ def nmi_ari_distributed(
     stays for small eval sets and as the pytest cross-check."""
     j = clusters.join(gold.select(F.col(id_col), "entity_id"), id_col)
     row = nmi_ari_components(j.select("cluster_id", "entity_id")).collect()[0]
+    if row["ari"] is None:
+        raise ValueError(
+            f"nmi_ari_distributed: ARI products exceeded DECIMAL(38,0) at "
+            f"n={row['n']} (~2.6e9 ceiling) — consume ari_components() and "
+            "finish the two products driver-side in Python bignums"
+        )
     return {"nmi": float(row["nmi"]), "ari": float(row["ari"]), "n": int(row["n"])}
 
 

@@ -167,10 +167,12 @@ def dendrogram_purity(
         )
     from blink_spark.io.scratch import spill_scratch
 
-    if sampled:
-        # multi-consumer (collect + two semi-joins) over a sampled
-        # frame: spill once so the sample is computed exactly once
-        lab, _ = spill_scratch(lab, "dendrogram_leaves")
+    # multi-consumer (collect + two semi-joins): spill once so the
+    # labels plan executes exactly once — sampled or not, re-executing
+    # an expensive (or nondeterministic) upstream per consumer would
+    # triple the job and could diverge the semi-join keep set from the
+    # collected lab_map
+    lab, _ = spill_scratch(lab, "dendrogram_leaves")
     lab_rows = lab.collect()
     keep_df = lab.select("leaf")
     e = edges.select(

@@ -191,6 +191,12 @@ def _normalize(dist: list[float]) -> list[float]:
     1-eps and collapse every distribution to uniform — m == u is a
     do-nothing EM fixed point."""
     s = sum(dist)
+    if s <= 0.0:
+        # degenerate posterior (e.g. EM's all-non-match basin rounds
+        # every per-class weight to exactly 0 in DECIMAL): no level
+        # information — uniform keeps the fit alive, mirroring the
+        # binary path's clamp-instead-of-divide-by-zero guard
+        return [1.0 / len(dist)] * len(dist)
     c = [_clamp(x / s) for x in dist]
     s2 = sum(c)
     return [x / s2 for x in c]

@@ -44,6 +44,11 @@ def worker() -> None:
 
 def level(nproc: int, trials: int = 3) -> float:
     ncpu = os.cpu_count() or nproc
+    if nproc > ncpu:
+        raise SystemExit(
+            f"level {nproc} exceeds the {ncpu} cpus available — pinned "
+            "workers would stack on shared cores and corrupt the ceiling"
+        )
     stride = max(1, ncpu // nproc)
     meds = []
     for _ in range(trials):

@@ -94,7 +94,12 @@ def main() -> int:
                     pair_block(un28, False),
                     pair_block(pin28, True),
                 ],
-                "range": [0.616, 0.687],
+                "range": [
+                    min(s["scaling_efficiency"]
+                        for s in (un14, un14b, pin14, un28, pin28)),
+                    max(s["scaling_efficiency"]
+                        for s in (un14, un14b, pin14, un28, pin28)),
+                ],
             },
             "bandwidth_ceiling_adjusted": {
                 "1_to_4_pinned": ceil_adj(pin14),

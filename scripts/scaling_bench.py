@@ -210,6 +210,12 @@ def main() -> int:
                 # (cpu0 also fields interrupts); stride keeps siblings
                 # apart on SMT topologies
                 ncpu = os.cpu_count() or cores
+                if cores > ncpu:
+                    raise SystemExit(
+                        f"--pin: level {cores} exceeds the {ncpu} cpus "
+                        "available — pinning would stack workers on "
+                        "shared cores and record a spurious efficiency"
+                    )
                 stride = max(1, ncpu // cores)
                 cpus = ",".join(str((i * stride) % ncpu)
                                 for i in range(cores))

@@ -116,3 +116,33 @@ def test_log2_micro_cross_engine(spark):
         f"FROM range(1, {hi + 1}) t(k)"
     ).fetchone()[0]
     assert int(got) == int(want)
+
+
+def test_ari_products_past_int64(spark):
+    """The four-way ARI products reach ~2*n^4 and wrapped int64 past
+    n ~ 46k before the DECIMAL(38,0) cast; at n = 100k with one giant
+    cluster, (sa2+sb2)*n2 ~ 2e20 >> 2^63 — the pre-fix plan returned a
+    wrapped (often negative-denominator) ratio. Pin ARI against the
+    same components finished in Python bignums."""
+    n = 100_000
+    labels = spark.range(n).select(
+        F.col("id").alias("file_id"),
+        F.lit("c0").alias("cluster_id"),
+        F.when(F.col("id") % 2 == 0, "e0").otherwise("e1").alias("entity_id"),
+    )
+    row = nmi_ari_components(
+        labels.select("cluster_id", "entity_id")
+    ).collect()[0]
+    # exact bignum finish from the emitted integer components
+    n_, idx2, sa2, sb2 = row["n"], row["idx2"], row["sa2"], row["sb2"]
+    n2 = n_ * (n_ - 1)
+    num = 2 * (idx2 * n2 - sa2 * sb2)
+    den = (sa2 + sb2) * n2 - 2 * sa2 * sb2
+    want = num / den
+    assert -1.0 <= row["ari"] <= 1.0
+    assert abs(row["ari"] - want) < 1e-6
+    # and the distributed wrapper returns it (no None / no wrap)
+    clusters = labels.select("file_id", "cluster_id")
+    gold = labels.select("file_id", "entity_id")
+    got = nmi_ari_distributed(clusters, gold)
+    assert abs(got["ari"] - want) < 1e-6

@@ -381,3 +381,15 @@ def test_gammas_null_fields_count_as_disagreement(spark):
     g = fs.attach_gammas(df, {"src": F.col("src_a") == F.col("src_b")})
     got = {r["pair_id"]: r["g_src"] for r in g.collect()}
     assert got == {1: 1, 2: 0, 3: 0}  # never NULL
+
+
+def test_normalize_zero_sum_returns_uniform():
+    """EM's all-non-match basin rounds every per-level DECIMAL weight
+    to exactly 0; _normalize must return uniform (no information)
+    instead of raising ZeroDivisionError mid-fit."""
+    from blink_spark.operators.fellegi_sunter import _normalize
+
+    got = _normalize([0.0, 0.0, 0.0])
+    assert got == pytest.approx([1 / 3] * 3)
+    # sanity: the normal path is unchanged
+    assert _normalize([1.0, 3.0])[1] == pytest.approx(0.75)
