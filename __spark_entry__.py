@@ -493,6 +493,39 @@ def _link_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_ranked(spark: SparkSession, sf_dir: str, *extra_cols: str):
+    """documents with a dense rank column `r` (0-based, doc_id order),
+    derived ARITHMETICALLY from the contiguous doc_id domain (asserted)
+    instead of a global row_number window — the window's single-
+    partition sort re-ran inside every downstream stage recompute of
+    the un-spilled fixture lineage (round-4 VERDICT item 8: ~10s of the
+    link_clusters_chain headline wall was fixture, not pipeline).
+    Returns (df with `r`, row count)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", *extra_cols)
+    mn, mx, n = docs.agg(
+        F.min("doc_id"), F.max("doc_id"), F.count(F.lit(1))
+    ).collect()[0]
+    if n and mx - mn + 1 != n:
+        raise ValueError(
+            f"documents.doc_id not contiguous ({mn}..{mx}, n={n}): the "
+            "groups-of-4 fixtures need a rank — fall back to a window"
+        )
+    return docs.withColumn(
+        "r", (F.col("doc_id") - F.lit(int(mn or 0))).cast("long")
+    ), int(n)
+
+
+def _docs_groups_of_4(spark: SparkSession, sf_dir: str):
+    """Full groups of four in doc_id-rank order (partial tail group
+    dropped) — shared fixture of the chain oracles."""
+    g, n = _docs_ranked(spark, sf_dir)
+    return (
+        g.withColumn("grp", (F.col("r") / 4).cast("long"))
+        .withColumn("pos", F.col("r") % 4)
+        .where(F.col("grp") < F.lit(n // 4))
+    )
+
+
 def _link_clusters_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed END-TO-END value oracle for the full LinkPipeline —
     the `link_partition_chain` analytic-fixture trick one level up
@@ -516,15 +549,7 @@ def _link_clusters_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     `link_clusters` (rows-only) drives the same code over real text."""
     from blink_spark.linking import LinkPipeline
 
-    g = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id")
-        .withColumn("r", F.row_number().over(W.orderBy("doc_id")) - 1)
-        .withColumn("grp", (F.col("r") / 4).cast("long"))
-        .withColumn("pos", F.col("r") % 4)
-        .withColumn("gsz", F.count(F.lit(1)).over(W.partitionBy("grp")))
-        .where(F.col("gsz") == 4)
-    )
+    g = _docs_groups_of_4(spark, sf_dir)
     tok = F.concat(F.lit("egrp"), F.col("grp").cast("string"))
     files = g.select(
         F.lit("x").alias("repo"),
@@ -565,6 +590,75 @@ WITH d AS (
 SELECT m.doc_id AS doc_id, e.doc_id AS pred_entity_doc
 FROM g m JOIN g e ON m.grp = e.grp AND e.pos = 3
 WHERE m.gsz = 4 AND e.gsz = 4 AND m.pos < 3
+"""
+
+
+def _link_route_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 router decision table (linking.g4_route_stats) over a fixture
+    with a KNOWN route split — catches silent routing drift, not just
+    final-answer drift (round-4 VERDICT item 6). Groups of four docs
+    become disjoint components by grp % 3: 0 -> entity star (3
+    mention->entity edges), 1 -> mixed chain m0->m1->m2->E (3 edges),
+    2 -> mixed chain + 2 extra edges (5 edges, past the budget of 4).
+    The stats run the SAME CC + shape aggregation the partition routes
+    on; the oracle states the split in closed form from the doc count."""
+    from blink_spark.operators.linking import g4_route_stats
+
+    g = _docs_groups_of_4(spark, sf_dir).where(F.col("pos") < 3)
+    ent = (-(F.col("grp") * 2 + 2)).cast("long")
+    base = g.select(
+        "grp",
+        "pos",
+        F.col("doc_id").alias("src"),
+        ent.alias("ent"),
+        (F.col("grp") % 3).alias("shape"),
+    )
+    fF, tT = F.lit(False), F.lit(True)
+
+    def edge(df, dst, score, dst_is_ent):
+        return df.select(
+            "src",
+            dst.alias("dst"),
+            F.lit(score).alias("score"),
+            fF.alias("src_is_entity"),
+            dst_is_ent.alias("dst_is_entity"),
+        )
+
+    star = edge(base.where(F.col("shape") == 0), F.col("ent"), 0.9, tT)
+    wl = W.partitionBy("grp").orderBy("pos")
+    m = base.where(F.col("shape") != 0).select(
+        "grp",
+        "pos",
+        "src",
+        "ent",
+        "shape",
+        F.lead("src", 1).over(wl).alias("n1"),
+        F.lead("src", 2).over(wl).alias("n2"),
+    )
+    mm = edge(m.where(F.col("pos") < 2), F.col("n1"), 0.5, fF)
+    anchor = edge(m.where(F.col("pos") == 2), F.col("ent"), 0.9, tT)
+    extra_skip = edge(
+        m.where((F.col("shape") == 2) & (F.col("pos") == 0)), F.col("n2"), 0.4, fF
+    )
+    extra_ent = edge(
+        m.where((F.col("shape") == 2) & (F.col("pos") == 1)), F.col("ent"), 0.3, tT
+    )
+    edges = star.unionByName(mm).unionByName(anchor)
+    edges = edges.unionByName(extra_skip).unionByName(extra_ent)
+    return g4_route_stats(edges, max_component_edges=4)
+
+
+_LINK_ROUTE_STATS_SQL = """
+WITH n AS (
+  SELECT CAST(floor(count(*) / 4.0) AS BIGINT) AS ng FROM documents
+), r AS (
+  SELECT 'star' AS route, (ng + 2) // 3 AS nc, 3 AS per FROM n
+  UNION ALL SELECT 'greedy', (ng + 1) // 3, 3 FROM n
+  UNION ALL SELECT 'over', ng // 3, 5 FROM n
+)
+SELECT route, CAST(nc AS BIGINT) AS n_components,
+       CAST(nc * per AS BIGINT) AS n_edges
+FROM r WHERE nc > 0
 """
 
 
@@ -2500,15 +2594,7 @@ def _link_partition_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from blink_spark.operators.linking import entity_constrained_partition
 
-    g = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id")
-        .withColumn("r", F.row_number().over(W.orderBy("doc_id")) - 1)
-        .withColumn("grp", (F.col("r") / 4).cast("long"))
-        .withColumn("pos", F.col("r") % 4)
-        .withColumn("gsz", F.count(F.lit(1)).over(W.partitionBy("grp")))
-        .where(F.col("gsz") == 4)
-    )
+    g = _docs_groups_of_4(spark, sf_dir)
     ent = (-(F.col("grp") * 2 + 2)).cast("long")
     dec = (-(F.col("grp") * 2 + 1)).cast("long")
     decoy = g.select(
@@ -2677,14 +2763,10 @@ def _eval_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle recomputes the closed form over the same fixture."""
     from blink_spark.eval import bcubed
 
-    labels = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "source")
-        .withColumn("r", F.row_number().over(W.orderBy("doc_id")) - 1)
-        .select(
-            (F.col("r") / 4).cast("long").alias("cluster_id"),
-            F.col("source").alias("entity_id"),
-        )
+    g, _ = _docs_ranked(spark, sf_dir, "source")
+    labels = g.select(
+        (F.col("r") / 4).cast("long").alias("cluster_id"),
+        F.col("source").alias("entity_id"),
     )
     return bcubed(labels)
 
@@ -2727,14 +2809,10 @@ def _eval_nmi_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     divide of integers both engines reproduce bit-for-bit."""
     from blink_spark.eval import nmi_ari_components
 
-    labels = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "source")
-        .withColumn("r", F.row_number().over(W.orderBy("doc_id")) - 1)
-        .select(
-            (F.col("r") / 4).cast("long").alias("cluster_id"),
-            F.col("source").alias("entity_id"),
-        )
+    g, _ = _docs_ranked(spark, sf_dir, "source")
+    labels = g.select(
+        (F.col("r") / 4).cast("long").alias("cluster_id"),
+        F.col("source").alias("entity_id"),
     )
     return nmi_ari_components(labels)
 
@@ -2807,85 +2885,29 @@ def _rel_kmeans2_sql() -> str:
 # ================================================================ contract
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING CONTRACT (round-3 VERDICT item 1): the driver verifies
-    # the FIRST 50 entries only, so the dict is ordered by verification
-    # need — (1) queries that have never received a driver CORRECTNESS
-    # row, (2) new this round, (3) changed this round, (4) long-stable
-    # hash-green queries (rotated to the tail; each was green in the
-    # round noted in CORRECTNESS_r0{1,2,3}.json).
+    # ORDERING CONTRACT (round-3 VERDICT item 1, round-4 item 5): the
+    # driver verifies the FIRST 50 entries only, so the dict is ordered
+    # by verification need — (1) new this round, (2) STALE: last driver
+    # CORRECTNESS row is >= 2 rounds old (the 21 queries outside the
+    # round-4 window, last green r2/r3), (3) changed this round
+    # (fixture or operator code touched), (4) filler from the round-4
+    # hash-green set, (5) tail: round-4-green entries rotated out —
+    # every tail entry has a CORRECTNESS_r04 row, so after this round
+    # all 72 queries carry an r4-or-r5 row.
     return {
-        # --- (1) never driver-verified before round 4 ---
-        "eval_dendrogram_chain": _eval_dendrogram_chain,
-        "eval_bcubed": _eval_bcubed,
-        "mm_byte_features_parity": _mm_features_parity,
-        "eval_dendrogram_purity": _eval_dendrogram_purity,
-        "mm_byte_features": _mm_features,
-        # --- (2) new in round 4 ---
-        "eval_nmi_components": _eval_nmi_components,
-        "ann_nnd_parity": _ann_nnd_parity,
-        "link_clusters_chain": _link_clusters_chain,
-        "er_fs_multilevel": _er_fs_multilevel,
-        # --- (3) changed / touched in round 4 ---
-        "dedup_minhash_lsh_parity": _dedup_minhash_lsh_parity,
-        "er_canopy_parity": _er_canopy_parity,
-        "er_fs_weights": _er_fs_weights,
-        "discover_reattach": _discover_reattach,
-        # ER pipeline (SURVEY §2.2-2.9)
-        "er_normalize": _er_normalize,
-        "er_exact_dup_groups": _er_exact_dup_groups,
-        "er_chain_cc": _er_chain_cc,
-        "er_parity_minhash": _er_parity_minhash,
-        "er_lsh_band_pairs": _er_lsh_band_pairs,
-        "er_pair_scores": _scored_pairs,
-        "er_topk_edges": _er_topk_edges,
-        "er_sorted_neighborhood": _er_sorted_neighborhood,
-        "er_sorted_global": _er_sorted_global,
-        # deterministic splitting / sampling (training-pipeline ops)
-        "samp_hash_split": _samp_hash_split,
-        "samp_stratified_split": _samp_stratified_split,
-        "samp_group_sample": _samp_group_sample,
-        # entity linking (two-table catalogue mode)
-        "link_topk_candidates": _link_topk_candidates,
-        "link_best_entity": _link_best_entity,
-        "link_clusters": _link_clusters,
-        "link_partition_chain": _link_partition_chain,
-        # graph ops (G3) + threshold selection (A7)
-        "graph_mst_forest": _graph_mst_forest,
-        "rel_kmeans2_threshold": _rel_kmeans2_threshold,
-        # dedup suite
-        "dedup_exact_substring": _dedup_exact_substring,
-        "dedup_substring_coverage": _dedup_substring_coverage,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "dedup_simhash_fingerprints": _dedup_simhash_fp,
-        "dedup_simhash_pairs": _dedup_simhash_pairs,
-        "dedup_embedding_cosine": _dedup_embedding,
-        "dedup_embedding_lsh": _dedup_embedding_lsh,
-        "dedup_embedding_lsh_parity": _dedup_embedding_lsh_parity,
-        "dedup_minhash_lsh": _dedup_minhash_lsh,
-        "dedup_keep_representatives": _dedup_keep_reps,
-        "dedup_decontaminate": _dedup_decontaminate,
-        # similarity search
-        "ann_cosine_topk": _ann_cosine_topk,
-        "ann_ivf_topk": _ann_ivf_topk,
-        "ann_ivf_parity": _ann_ivf_parity,
-        "ann_ivf_refined_parity": _ann_ivf_refined_parity,
-        "ann_pq_topk": _ann_pq_topk,
-        "ann_pq_parity": _ann_pq_parity,
-        "ann_lsh_topk": _ann_lsh_topk,
-        "ann_lsh_parity": _ann_lsh_parity,
+        # --- (1) new in round 5 ---
+        "link_route_stats": _link_route_stats,
+        # --- (2) stale: last checked r2/r3 ---
         "ann_nnd_topk": _ann_nnd_topk,
-        # text analysis
         "text_token_stats": _text_token_stats,
         "text_langid": _text_langid,
         "text_quality": _text_quality,
         "text_pii": _text_pii,
         "text_repetition": _text_repetition,
         "text_fingerprint": _text_fingerprint,
-        # multimodal
         "mm_asset_metadata": _mm_metadata,
         "mm_frame_sample": _mm_frames,
         "mm_decode": _mm_decode,
-        # relational operator suite (SURVEY §2.2, 2.5-2.8, 2.10)
         "rel_scan_filter_project": _rel_scan_filter_project,
         "rel_agg_q1": _rel_agg_q1,
         "rel_join_dims": _rel_join_dims,
@@ -2896,9 +2918,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_quantile_threshold": _rel_quantile_threshold,
         "rel_gold_rank": _rel_gold_rank,
         "rel_cluster_hist": _rel_cluster_hist,
-        # clustering-quality eval (A5, exact-integer ARI components;
-        # G8 dendrogram purity)
         "eval_ari_components": _eval_ari_components,
+        # --- (3) changed in round 5 (groups-of-4 fixtures now derive
+        # rank arithmetically; FS spill discipline; eval ARI NULL guard)
+        "link_clusters_chain": _link_clusters_chain,
+        "link_partition_chain": _link_partition_chain,
+        "eval_bcubed": _eval_bcubed,
+        "eval_nmi_components": _eval_nmi_components,
+        "er_fs_weights": _er_fs_weights,
+        "er_fs_multilevel": _er_fs_multilevel,
+        "discover_reattach": _discover_reattach,
+        # --- (4) round-4-green filler up to the 50-entry window ---
+        "er_normalize": _er_normalize,
+        "er_exact_dup_groups": _er_exact_dup_groups,
+        "er_chain_cc": _er_chain_cc,
+        "er_parity_minhash": _er_parity_minhash,
+        "er_lsh_band_pairs": _er_lsh_band_pairs,
+        "er_pair_scores": _scored_pairs,
+        "er_topk_edges": _er_topk_edges,
+        "er_sorted_neighborhood": _er_sorted_neighborhood,
+        "er_sorted_global": _er_sorted_global,
+        "samp_hash_split": _samp_hash_split,
+        "samp_stratified_split": _samp_stratified_split,
+        "samp_group_sample": _samp_group_sample,
+        "link_topk_candidates": _link_topk_candidates,
+        "link_best_entity": _link_best_entity,
+        "graph_mst_forest": _graph_mst_forest,
+        "rel_kmeans2_threshold": _rel_kmeans2_threshold,
+        "dedup_exact_substring": _dedup_exact_substring,
+        "dedup_substring_coverage": _dedup_substring_coverage,
+        "dedup_simhash_fingerprints": _dedup_simhash_fp,
+        "dedup_keep_representatives": _dedup_keep_reps,
+        "dedup_decontaminate": _dedup_decontaminate,
+        # --- (5) tail: round-4 hash-green, rotated out of the window ---
+        "eval_dendrogram_chain": _eval_dendrogram_chain,
+        "eval_dendrogram_purity": _eval_dendrogram_purity,
+        "mm_byte_features_parity": _mm_features_parity,
+        "mm_byte_features": _mm_features,
+        "ann_nnd_parity": _ann_nnd_parity,
+        "dedup_minhash_lsh_parity": _dedup_minhash_lsh_parity,
+        "er_canopy_parity": _er_canopy_parity,
+        "link_clusters": _link_clusters,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_simhash_pairs": _dedup_simhash_pairs,
+        "dedup_embedding_cosine": _dedup_embedding,
+        "dedup_embedding_lsh": _dedup_embedding_lsh,
+        "dedup_embedding_lsh_parity": _dedup_embedding_lsh_parity,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "ann_ivf_parity": _ann_ivf_parity,
+        "ann_ivf_refined_parity": _ann_ivf_refined_parity,
+        "ann_pq_topk": _ann_pq_topk,
+        "ann_pq_parity": _ann_pq_parity,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "ann_lsh_parity": _ann_lsh_parity,
     }
 
 
@@ -2926,6 +3000,7 @@ def oracle_sql() -> dict[str, str]:
         # link_partition_chain fixture below
         "link_partition_chain": _LINK_PARTITION_CHAIN_SQL,
         "link_clusters_chain": _LINK_CLUSTERS_CHAIN_SQL,
+        "link_route_stats": _LINK_ROUTE_STATS_SQL,
         "discover_reattach": _DISCOVER_REATTACH_SQL,
         "graph_mst_forest": _GRAPH_MST_SQL,
         "rel_kmeans2_threshold": _rel_kmeans2_sql(),

@@ -393,9 +393,20 @@ def nmi_ari_components(
         (d(F.col("sa2")) + d(F.col("sb2"))) * n2
         - d(F.lit(2)) * d(F.col("sa2")) * d(F.col("sb2"))
     )
-    ari = F.when(
-        ari_den != 0, qround(ari_num.cast("double") / ari_den.cast("double"))
-    ).otherwise(F.lit(1.0))
+    # NULL (DECIMAL overflow) must propagate, not fall through to the
+    # otherwise(1.0) branch: `ari_den != 0` on NULL is NULL, which
+    # F.when treats as false — without the explicit check an overflowed
+    # denominator would silently report ARI=1.0 instead of letting
+    # nmi_ari_distributed refuse loudly
+    ari = (
+        F.when(
+            ari_num.isNull() | ari_den.isNull(), F.lit(None).cast("double")
+        )
+        .when(
+            ari_den != 0, qround(ari_num.cast("double") / ari_den.cast("double"))
+        )
+        .otherwise(F.lit(1.0))
+    )
     return one.select(
         "n",
         "idx2",

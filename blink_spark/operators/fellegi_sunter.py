@@ -59,8 +59,14 @@ def em_fit(
     init_m: float | list[float] = 0.9,
     init_u: float | list[float] = 0.1,
     init_lambda: float = 0.1,
+    spilled: bool = False,
 ) -> dict:
     """EM for (lambda, m_i, u_i) over the agreement vectors.
+
+    ``spilled=True`` means the caller already materialized ``gammas``
+    to scratch parquet (fs_cluster does); the g_ projection then reads
+    column-pruned from that spill instead of writing a second copy of
+    the largest intermediate.
 
     Each iteration: the E-step posterior P(match | gamma) is a single
     Column expression with the current parameters inlined as literals;
@@ -82,9 +88,12 @@ def em_fit(
     # every EM iteration aggregates over the gammas — without a stage
     # boundary each pass would re-execute the candidate-pair joins that
     # produced them; project to the k agreement columns and spill once
-    from blink_spark.io.scratch import spill_scratch
+    # (unless the caller already spilled the full table)
+    gammas = gammas.select(*gcols)
+    if not spilled:
+        from blink_spark.io.scratch import spill_scratch
 
-    gammas, _ = spill_scratch(gammas.select(*gcols), "fs_gammas")
+        gammas, _ = spill_scratch(gammas, "fs_gammas")
     n_pairs = None
     for _ in range(iters):
         pm = F.lit(lam)
@@ -209,6 +218,7 @@ def em_fit_multilevel(
     init_m: dict[str, list[float]] | None = None,
     init_u: dict[str, list[float]] | None = None,
     init_lambda: float = 0.1,
+    spilled: bool = False,
 ) -> dict:
     """EM for (lambda, m_i[l], u_i[l]) with PER-LEVEL probabilities:
     m_i[l] = P(gamma_i = l | match) over l in 0..L_i, summing to 1
@@ -234,10 +244,14 @@ def em_fit_multilevel(
             list(init_u[f]) if init_u else [4.0 * nl] + [1.0] * (nl - 1)
         )
     lam = _clamp(init_lambda)
-    from blink_spark.io.scratch import spill_scratch
-
     gcols = [F.col(f"g_{f}") for f in fields]
-    gammas, _ = spill_scratch(gammas.select(*gcols), "fs_ml_gammas")
+    # same spill discipline as em_fit: skip the second parquet write of
+    # the largest intermediate when the caller already spilled it
+    gammas = gammas.select(*gcols)
+    if not spilled:
+        from blink_spark.io.scratch import spill_scratch
+
+        gammas, _ = spill_scratch(gammas, "fs_ml_gammas")
     n_pairs = None
     for _ in range(iters):
         pm = F.lit(lam)
@@ -556,7 +570,9 @@ def fs_cluster_multilevel(
     u0 = estimate_u_probs_multilevel(
         records, comparisons, id_col, u_sample, seed
     )["u"]
-    fit = em_fit_multilevel(gammas, levels, iters=em_iters, init_u=u0)
+    fit = em_fit_multilevel(
+        gammas, levels, iters=em_iters, init_u=u0, spilled=True
+    )
     scored = score_pairs_multilevel(
         gammas, fields, fit["m"], fit["u"], fit["lambda"]
     )
@@ -617,6 +633,7 @@ def fs_cluster(
         iters=em_iters,
         init_m=init_m,
         init_u=[u0[f] for f in fields],
+        spilled=True,
     )
     scored = score_pairs(gammas, fields, fit["m"], fit["u"], fit["lambda"])
     edges = scored.where(F.col("p_match") >= threshold_p).select("id_a", "id_b")

@@ -269,6 +269,57 @@ def _salvage_assign(part: DataFrame) -> DataFrame:
     )
 
 
+def _route_components(
+    edges: DataFrame, max_component_edges: int
+) -> tuple[DataFrame, DataFrame, F.Column]:
+    """Weak components + per-component shape stats + the G4 route
+    decision. Returns (e, stats, route): e = the durably spilled edge
+    table with its component id (consumed by every routed path), stats
+    = (component, not_star, n_edges) spilled, route = the decision
+    Column over stats — 'star' (entity-star only), 'over' (mixed past
+    the edge budget), else 'greedy'. Shared by the partition itself and
+    by g4_route_stats so the exported stats can never drift from what
+    the router actually does."""
+    from blink_spark.io.scratch import spill_scratch
+
+    sym = edges.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+    comp = connected_components(sym)
+    e = edges.join(comp.select(F.col("id").alias("src"), "component"), "src")
+    e, _ = spill_scratch(e, "g4_edges")
+    stats = e.groupBy("component").agg(
+        F.max(
+            (F.col("src_is_entity") | ~F.col("dst_is_entity")).cast("int")
+        ).alias("not_star"),
+        F.count(F.lit(1)).alias("n_edges"),
+    )
+    stats, _ = spill_scratch(stats, "g4_stats")
+    big = F.col("n_edges") > F.lit(int(max_component_edges))
+    route = (
+        F.when(F.col("not_star") == 0, F.lit("star"))
+        .when(big, F.lit("over"))
+        .otherwise(F.lit("greedy"))
+    )
+    return e, stats, route
+
+
+def g4_route_stats(
+    edges: DataFrame, max_component_edges: int = 2_000_000
+) -> DataFrame:
+    """Router decision table for G4: (route, n_components, n_edges) at
+    the given edge budget — how many weak components would take the
+    star argmax, the per-component greedy, or the oversize path. Runs
+    the SAME CC + shape stats the partition itself routes on (shared
+    `_route_components`), so a driver value-oracle over a fixture with
+    a known split catches silent ROUTING drift, not just final-answer
+    drift (round-4 VERDICT item 6). Cheap relative to the partition:
+    stops after the stats aggregation."""
+    _, stats, route = _route_components(edges, max_component_edges)
+    return stats.groupBy(route.alias("route")).agg(
+        F.count(F.lit(1)).alias("n_components"),
+        F.sum("n_edges").alias("n_edges"),
+    )
+
+
 def entity_constrained_partition(
     edges: DataFrame,
     undirected: bool = False,
@@ -295,36 +346,35 @@ def entity_constrained_partition(
       Cython kernel per adjacency, special_partition.pyx:288-356).
     * **mixed oversize** -> ``oversize="error"`` (default) raises with
       the offending component sizes and remediation knobs;
-      ``oversize="salvage"`` degrades LOUDLY to best-entity argmax for
-      those components (documented approximation, no OOM).
+      ``oversize="distributed"`` resolves them EXACTLY with the
+      SCC-decomposed distributed greedy (partition_distributed.py —
+      parallel grain = strongly-connected class, never the weak
+      component; directed mode only); ``oversize="salvage"`` degrades
+      LOUDLY to best-entity argmax for those components (documented
+      approximation, no OOM).
 
     ``undirected=True`` is the reference's undirected graph mode:
     G3 max-spanning-forest filter, symmetrize, then prune
     (special_partition.pyx:391-414); the star fast path uses the
     distributed Boruvka forest, tie-identical to per-component Kruskal.
     """
-    if oversize not in ("error", "salvage"):
-        raise ValueError(f"oversize must be 'error' or 'salvage', got {oversize!r}")
-    from blink_spark.io.scratch import spill_scratch
-
-    sym = edges.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
-    comp = connected_components(sym)
-    e = edges.join(comp.select(F.col("id").alias("src"), "component"), "src")
-    # one durable spill: consumed by the stats agg + every routed path
-    e, _ = spill_scratch(e, "g4_edges")
-    stats = e.groupBy("component").agg(
-        F.max(
-            (F.col("src_is_entity") | ~F.col("dst_is_entity")).cast("int")
-        ).alias("not_star"),
-        F.count(F.lit(1)).alias("n_edges"),
-    )
-    stats, _ = spill_scratch(stats, "g4_stats")
+    if oversize not in ("error", "salvage", "distributed"):
+        raise ValueError(
+            f"oversize must be 'error', 'salvage' or 'distributed', got {oversize!r}"
+        )
+    if oversize == "distributed" and undirected:
+        # symmetrization makes every weak component one SCC, so the
+        # SCC decomposition degenerates to one task per component —
+        # no better than the status quo (partition_distributed.py
+        # module docstring); refuse rather than pretend to distribute
+        raise ValueError(
+            "oversize='distributed' supports directed mode only: the "
+            "undirected (G3) mode symmetrizes edges, which collapses "
+            "each weak component into a single SCC and defeats the "
+            "decomposition — use oversize='error'/'salvage' there"
+        )
+    e, stats, route = _route_components(edges, max_component_edges)
     big = F.col("n_edges") > F.lit(int(max_component_edges))
-    route = (
-        F.when(F.col("not_star") == 0, F.lit("star"))
-        .when(big, F.lit("over"))
-        .otherwise(F.lit("greedy"))
-    )
     counts = {
         r["route"]: r["n"]
         for r in stats.groupBy(route.alias("route")).agg(F.count(F.lit(1)).alias("n")).collect()
@@ -344,33 +394,50 @@ def entity_constrained_partition(
             )
         )
     if counts.get("over"):
-        worst = (
-            stats.where((F.col("not_star") == 1) & big)
-            .orderBy(F.desc("n_edges"))
-            .limit(5)
-            .collect()
-        )
-        desc = ", ".join(f"component {r['component']}: {r['n_edges']} edges" for r in worst)
-        if oversize == "error":
-            raise ValueError(
-                f"entity_constrained_partition: {counts['over']} mixed "
-                f"component(s) exceed max_component_edges="
-                f"{max_component_edges} ({desc}). One applyInPandas task "
-                f"would hold each whole component. Remedies: raise the "
-                f"score threshold / lower mention_knn to fracture them, "
-                f"raise max_component_edges if executors have headroom, "
-                f"or pass oversize='salvage' for a best-entity-argmax "
-                f"degradation of just these components."
+        if oversize == "distributed":
+            from blink_spark.operators.partition_distributed import (
+                distributed_partition,
             )
-        import warnings
 
-        warnings.warn(
-            f"entity_constrained_partition: degrading {counts['over']} "
-            f"oversize mixed component(s) ({desc}) to best-entity argmax "
-            f"(mention-mention edges ignored there).",
-            stacklevel=2,
-        )
-        parts.append(_salvage_assign(routed.where(F.col("route") == "over")))
+            parts.append(
+                distributed_partition(
+                    routed.where(F.col("route") == "over").select(
+                        "src", "dst", "score", "src_is_entity", "dst_is_entity"
+                    )
+                )
+            )
+        else:
+            worst = (
+                stats.where((F.col("not_star") == 1) & big)
+                .orderBy(F.desc("n_edges"))
+                .limit(5)
+                .collect()
+            )
+            desc = ", ".join(
+                f"component {r['component']}: {r['n_edges']} edges" for r in worst
+            )
+            if oversize == "error":
+                raise ValueError(
+                    f"entity_constrained_partition: {counts['over']} mixed "
+                    f"component(s) exceed max_component_edges="
+                    f"{max_component_edges} ({desc}). One applyInPandas task "
+                    f"would hold each whole component. Remedies: raise the "
+                    f"score threshold / lower mention_knn to fracture them, "
+                    f"raise max_component_edges if executors have headroom, "
+                    f"pass oversize='distributed' for the exact SCC-"
+                    f"decomposed resolution of just these components, or "
+                    f"oversize='salvage' for a best-entity-argmax "
+                    f"degradation."
+                )
+            import warnings
+
+            warnings.warn(
+                f"entity_constrained_partition: degrading {counts['over']} "
+                f"oversize mixed component(s) ({desc}) to best-entity argmax "
+                f"(mention-mention edges ignored there).",
+                stacklevel=2,
+            )
+            parts.append(_salvage_assign(routed.where(F.col("route") == "over")))
     if not parts:
         return spark.createDataFrame([], PARTITION_SCHEMA)
     out = parts[0]
