@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="generate a synthetic corpus instead of --input")
     p.add_argument("--hot-family", type=int, default=0)
     p.add_argument("--output", required=True, help="stage-table root")
+    p.add_argument("--catalog-prefix", default=None,
+                   help="Iceberg catalog table prefix (e.g. local.blink.run1); "
+                        "stage tables bind to the catalog when the Iceberg "
+                        "runtime is on the classpath, else parquet at --output")
     p.add_argument("--stage", default="all",
                    choices=["all", "block", "score", "cluster"])
     p.add_argument("--no-resume", action="store_true")
@@ -169,9 +173,7 @@ def run_linking(spark, args, cfg, files, store) -> dict:
     # table names would otherwise resume a prior DEDUP run's scored
     # pairs (computed without the catalogue rows) and silently link
     # nothing — resume is existence+schema-based, not input-based.
-    from blink_spark.io.tables import StageStore
-
-    link_store = StageStore(store.spark, store.path("link_stages"), fmt=store.fmt)
+    link_store = store.sub("link_stages")
     pipe = LinkPipeline(cfg, recall_k=args.recall_k, mention_knn=args.mention_knn)
     res = pipe.run(
         mentions,
@@ -285,7 +287,9 @@ def main(argv: list[str] | None = None) -> int:
         print("need --input or --synthetic-entities", file=sys.stderr)
         return 2
 
-    store = StageStore(spark, args.output)
+    store = StageStore.for_env(
+        spark, args.output, catalog_table_prefix=args.catalog_prefix
+    )
     if args.fs:
         print(json.dumps(run_fs(spark, args, files), default=str))
         return 0

@@ -349,7 +349,13 @@ class ERPipeline:
         cc_stats = CCStats()
         from blink_spark.operators.connected_components import make_parquet_checkpointer
 
-        cc_dir = store.path("_cc_scratch") if store is not None else f"{scratch_dir}/cc"
+        cc_dir = (
+            store.fs_scratch_path("_cc_scratch")
+            if store is not None
+            else f"{scratch_dir}/cc"
+        )
+        if cc_dir is None:  # catalog-table store: CC scratch goes to temp
+            cc_dir = f"{_scratch.scratch_dir()}/cc"
         cc_ckpt = make_parquet_checkpointer(cc_dir)
         if use_entity:
             clusters = stage(
