@@ -198,6 +198,32 @@ def main() -> int:
         if os.path.exists(full):
             with open(full) as fh:
                 scaling["scaling_full_size"] = json.load(fh)
+
+        # streaming ingest throughput at two parallelism levels
+        # (round-4 VERDICT item 7) — measured fresh each bench run
+        try:
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "streaming_bench.py"),
+                 "--levels", "4", "16"],
+                capture_output=True, text=True, timeout=1800,
+                env=dict(os.environ),
+            )
+            scaling["streaming_throughput"] = json.loads(
+                proc.stdout.strip().splitlines()[-1]
+            )
+        except Exception as e:
+            scaling["streaming_throughput"] = {"error": str(e)[:200]}
+
+        # 10x headline bench (round-4 VERDICT item 2): committed
+        # artifact from scripts/make_sf1.py + scripts/sf_scale_bench.py
+        # (too heavy to regenerate per bench run — ~25 min and needs an
+        # idle box; reproduce with those two commands)
+        sf1 = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SF1BENCH.json")
+        if os.path.exists(sf1):
+            with open(sf1) as fh:
+                scaling["sf_scale_10x"] = json.load(fh)
         print(json.dumps(scaling))
         # headline keeps only scalar verdicts for convenience; support
         # both the <=r3 artifact shape (headline.scaling_efficiency)
@@ -215,6 +241,15 @@ def main() -> int:
             out["scaling_prior_hosts_same_code"] = head.get(
                 "same_code_prior_hosts_raw"
             )
+        st = scaling.get("streaming_throughput", {})
+        if "rows_per_sec" in st:
+            out["stream_rows_per_sec"] = st["rows_per_sec"]
+            out["stream_scaling_efficiency"] = st.get("scaling_efficiency")
+        sfs = scaling.get("sf_scale_10x", {})
+        if "registry" in sfs:
+            prr = [v["per_row_ratio"] for v in sfs["registry"].values()
+                   if isinstance(v, dict) and "per_row_ratio" in v]
+            out["sf10x_per_row_ratio_max_registry"] = max(prr) if prr else None
 
     print(json.dumps(out))
     return 0
